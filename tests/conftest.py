@@ -1,0 +1,20 @@
+"""Test harness: force an 8-device virtual CPU platform so sharding /
+multi-chip code paths are exercised without TPU hardware (the standard JAX
+pattern; see SURVEY.md §4).
+
+Note: this environment preloads jax at interpreter startup (sitecustomize),
+so JAX_PLATFORMS in os.environ is too late — we must flip the platform via
+jax.config before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

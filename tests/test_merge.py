@@ -1,0 +1,219 @@
+"""Unit tests for the static-shape token-merge engine.
+
+Invariants mirrored from the reference semantics
+(lixirui142/VidToMe vidtome/merge.py):
+  * replace-mode merge keeps dst and unmerged-src tokens bit-exact;
+  * unmerge restores dst / unmerged tokens exactly and maps every merged src
+    position to its matched dst token's value;
+  * merged src tokens were matched to their *most similar* dst token;
+  * align_batch shares one matching across all batch lanes;
+  * the recursive local merge reduces F frames to the documented token count
+    (patch.py:252-254: chunk 4, ratio 1.0 -> 0.25x tokens).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidtome_tpu.core import merge as M
+
+
+def _rand_tokens(key, B, N, C):
+    return jax.random.normal(key, (B, N, C), dtype=jnp.float32)
+
+
+class TestLocalMatching:
+    def test_shapes_static(self):
+        key = jax.random.key(0)
+        B, F, tnum, C = 2, 4, 16, 8
+        x = _rand_tokens(key, B, F * tnum, C)
+        plan = M.local_matching(x, F=F, ratio=0.9, unm_pre=0,
+                                key=jax.random.key(1), target_stride=4)
+        S = 3 * tnum
+        r = int(S * 0.9)
+        assert plan.a_idx.shape == (B, S)
+        assert plan.b_idx.shape == (B, tnum)
+        assert plan.src_idx.shape == (B, r)
+        assert plan.unm_idx.shape == (B, S - r)
+        assert plan.merged_len == (S - r) + tnum
+        assert plan.seq_len == F * tnum
+
+    def test_merge_unmerge_roundtrip_replace(self):
+        B, F, tnum, C = 2, 4, 16, 8
+        x = _rand_tokens(jax.random.key(0), B, F * tnum, C)
+        plan = M.local_matching(x, F=F, ratio=0.5, unm_pre=0,
+                                key=jax.random.key(1))
+        y = M.merge(x, plan)
+        restored = M.unmerge(y, plan)
+
+        xn, rn = np.asarray(x), np.asarray(restored)
+        a, b = np.asarray(plan.a_idx), np.asarray(plan.b_idx)
+        unm, src, dst = (np.asarray(plan.unm_idx), np.asarray(plan.src_idx),
+                         np.asarray(plan.dst_idx))
+        for bi in range(B):
+            # dst tokens exact
+            np.testing.assert_array_equal(rn[bi, b[bi]], xn[bi, b[bi]])
+            # unmerged src tokens exact
+            keep = a[bi, unm[bi]]
+            np.testing.assert_array_equal(rn[bi, keep], xn[bi, keep])
+            # merged src tokens take their matched dst value
+            merged_pos = a[bi, src[bi]]
+            matched_dst = b[bi, dst[bi]]
+            np.testing.assert_array_equal(rn[bi, merged_pos], xn[bi, matched_dst])
+
+    def test_matching_is_greedy_best_dst(self):
+        """Each merged src token's assigned dst is its argmax-similarity dst."""
+        B, F, tnum, C = 1, 2, 32, 16
+        x = _rand_tokens(jax.random.key(3), B, F * tnum, C)
+        plan = M.local_matching(x, F=F, ratio=0.5, unm_pre=0,
+                                key=jax.random.key(4), target_stride=2)
+        xn = np.asarray(x)
+        norm = xn / np.linalg.norm(xn, axis=-1, keepdims=True)
+        a, b = np.asarray(plan.a_idx)[0], np.asarray(plan.b_idx)[0]
+        scores = norm[0, a] @ norm[0, b].T
+        expected_best = scores.argmax(-1)
+        src, dst = np.asarray(plan.src_idx)[0], np.asarray(plan.dst_idx)[0]
+        np.testing.assert_array_equal(dst, expected_best[src])
+        # and the merged set is the top-r by best score
+        best = scores.max(-1)
+        r = len(src)
+        top_r = set(np.argsort(-best)[:r].tolist())
+        assert set(src.tolist()) == top_r
+
+    def test_align_batch_shares_matching(self):
+        B, F, tnum, C = 3, 4, 8, 8
+        x = _rand_tokens(jax.random.key(5), B, F * tnum, C)
+        plan = M.local_matching(x, F=F, ratio=0.75, unm_pre=0,
+                                key=jax.random.key(6), align_batch=True)
+        for field in (plan.src_idx, plan.dst_idx, plan.unm_idx):
+            fn = np.asarray(field)
+            for bi in range(1, B):
+                np.testing.assert_array_equal(fn[bi], fn[0])
+
+    def test_unm_pre_prefix_joins_dst(self):
+        """Tokens [0, unm_pre) must appear in the dst set and survive merging."""
+        B, F, tnum, C, unm_pre = 1, 2, 8, 4, 5
+        x = _rand_tokens(jax.random.key(7), B, unm_pre + F * tnum, C)
+        plan = M.local_matching(x, F=F, ratio=1.0, unm_pre=unm_pre,
+                                key=jax.random.key(8), target_stride=2)
+        b = np.asarray(plan.b_idx)[0]
+        assert set(range(unm_pre)).issubset(set(b.tolist()))
+        y = M.merge(x, plan)
+        restored = M.unmerge(y, plan)
+        np.testing.assert_array_equal(
+            np.asarray(restored)[0, :unm_pre], np.asarray(x)[0, :unm_pre])
+
+    def test_mean_mode(self):
+        """Mean mode averages each dst with its assigned src tokens."""
+        B, F, tnum, C = 1, 2, 4, 4
+        x = _rand_tokens(jax.random.key(9), B, F * tnum, C)
+        plan = M.local_matching(x, F=F, ratio=1.0, unm_pre=0,
+                                key=jax.random.key(10), target_stride=2)
+        y = np.asarray(M.merge(x, plan, mode="mean"))
+        xn = np.asarray(x)
+        a, b = np.asarray(plan.a_idx)[0], np.asarray(plan.b_idx)[0]
+        src, dst = np.asarray(plan.src_idx)[0], np.asarray(plan.dst_idx)[0]
+        U = plan.unm_num
+        for j in range(len(b)):
+            vals = [xn[0, b[j]]] + [xn[0, a[s]] for s, d in zip(src, dst) if d == j]
+            np.testing.assert_allclose(y[0, U + j], np.mean(vals, axis=0),
+                                       rtol=1e-5, atol=1e-5)
+
+
+class TestRecursiveLocalMerge:
+    @pytest.mark.parametrize("F,stride,expected_rounds", [
+        (4, 4, [4]), (8, 4, [8, 2]), (2, 4, [2]), (16, 4, [16, 4]),
+        (6, 4, [6, 2]), (5, 4, [5]), (1, 4, []),
+    ])
+    def test_round_structure(self, F, stride, expected_rounds):
+        assert M.local_merge_rounds(F, stride) == expected_rounds
+
+    def test_compression_ratio_chunk4(self):
+        """chunk 4, ratio 1.0 -> exactly tnum tokens left (0.25x); ratio 0.9
+        -> 0.325x (reference docstring patch.py:252-254)."""
+        B, F, tnum, C = 2, 4, 64, 16
+        x = _rand_tokens(jax.random.key(11), B, F * tnum, C)
+        merged, plans = M.compute_local_merge(
+            x, F=F, ratio=1.0, key=jax.random.key(12), target_stride=4)
+        assert merged.shape == (B, tnum, C)
+        merged9, _ = M.compute_local_merge(
+            x, F=F, ratio=0.9, key=jax.random.key(12), target_stride=4)
+        expected = (3 * tnum - int(3 * tnum * 0.9)) + tnum  # unm + dst
+        assert merged9.shape[1] == expected
+        assert abs(expected / (F * tnum) - 0.325) < 0.01
+
+    def test_roundtrip_multi_round(self):
+        """8 frames with stride 4 -> two rounds; unmerge_all restores dst
+        tokens of the final round exactly."""
+        B, F, tnum, C = 2, 8, 16, 8
+        x = _rand_tokens(jax.random.key(13), B, F * tnum, C)
+        merged, plans = M.compute_local_merge(
+            x, F=F, ratio=0.9, key=jax.random.key(14), target_stride=4)
+        assert len(plans) == 2
+        restored = M.unmerge_all(merged, plans)
+        assert restored.shape == x.shape
+        # every restored token must equal SOME surviving token value (the
+        # whole point of replace-mode merging): check a sample.
+        merged_np = np.asarray(merged)
+        rn = np.asarray(restored)
+        pool = merged_np[0].reshape(-1, C)
+        for n in range(0, F * tnum, 37):
+            diffs = np.abs(pool - rn[0, n]).sum(-1)
+            assert diffs.min() < 1e-5
+
+    def test_jit_and_identical_under_same_key(self):
+        B, F, tnum, C = 2, 4, 16, 8
+        x = _rand_tokens(jax.random.key(15), B, F * tnum, C)
+
+        def run(x, key):
+            merged, plans = M.compute_local_merge(x, F=F, ratio=0.9, key=key)
+            return M.unmerge_all(merged, plans)
+
+        jitted = jax.jit(run)
+        out1 = jitted(x, jax.random.key(16))
+        out2 = run(x, jax.random.key(16))
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestGlobalMatching:
+    def test_two_set_roundtrip(self):
+        B, L, C = 2, 32, 8
+        local = _rand_tokens(jax.random.key(17), B, L, C)
+        bank = _rand_tokens(jax.random.key(18), B, L, C)
+        tokens = jnp.concatenate([local, bank], axis=1)
+        plan = M.two_set_matching(tokens, src_len=L, ratio=0.8)
+        assert plan.merged_len == (L - int(L * 0.8)) + L
+        y = M.merge(tokens, plan)
+        full = M.unmerge(y, plan)
+        # dst partition (the bank) restored exactly
+        np.testing.assert_array_equal(np.asarray(full)[:, L:], np.asarray(bank))
+        # partition selection, static and traced
+        np.testing.assert_array_equal(
+            np.asarray(M.partition(full, L, 0)), np.asarray(full)[:, :L])
+        np.testing.assert_array_equal(
+            np.asarray(M.partition(full, L, jnp.asarray(1))),
+            np.asarray(full)[:, L:])
+
+    def test_traced_partition_selector_jit(self):
+        B, L, C = 1, 16, 4
+        x = _rand_tokens(jax.random.key(19), B, 2 * L, C)
+
+        @jax.jit
+        def pick(x, c):
+            return M.partition(x, L, c)
+
+        np.testing.assert_array_equal(np.asarray(pick(x, jnp.asarray(0))),
+                                      np.asarray(x)[:, :L])
+        np.testing.assert_array_equal(np.asarray(pick(x, jnp.asarray(1))),
+                                      np.asarray(x)[:, L:])
+
+
+class TestFrameOps:
+    def test_join_split_inverse(self):
+        x = _rand_tokens(jax.random.key(20), 6, 16, 4)  # B*F = 6 with F=3
+        joined = M.join_frames(x, 3)
+        assert joined.shape == (2, 48, 4)
+        back = M.split_frames(joined, 3)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))

@@ -1,0 +1,346 @@
+"""Cross-frame token merging as static-shape gather plans.
+
+This is the TPU-native re-design of the reference's bipartite soft matching
+(``vidtome/merge.py:20-159`` local / ``:343-463`` global in
+lixirui142/VidToMe).  The reference returns Python closures that gather /
+scatter with data-dependent shapes; here every matching produces a
+:class:`MergePlan` — a pytree of *statically shaped* index arrays — and
+``merge`` / ``unmerge`` are single batched gathers.  All shapes are fixed by
+``(num_tokens, num_frames, ratio, target_stride)`` at trace time, so the
+whole thing compiles once under ``jit`` and the per-step work is
+MXU-friendly: one cosine-similarity matmul, one top-r argsort, and two
+gathers.
+
+Token layout convention (identical to the reference): a "joined" sequence is
+``[unm_pre prefix | frame_0 | frame_1 | ...]`` of length
+``N = unm_pre + F * tnum``.  A merge keeps ``[new_unmerged | dst]`` where
+``dst = [dst frames | previous unm_pre prefix]``.
+
+Deviation from the reference (documented): when ``target_stride`` does not
+divide the current frame count, the reference's dst-frame count would depend
+on the random draw (a dynamic shape).  We instead use the largest divisor of
+``F`` that is <= ``target_stride``, which preserves the one-dst-frame-per-
+stride-window structure with a static count.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class MergePlan(NamedTuple):
+    """Static-shape record of one bipartite matching.
+
+    With ``S`` src tokens, ``D`` dst tokens, ``r`` merged and ``U = S - r``
+    unmerged, over batch ``B`` and full sequence length ``N = S + D``:
+
+      merge_gather:   [B, U + D] — ``merged[i] = x[merge_gather[i]]``
+                      (replace mode: unmerged src tokens then dst tokens).
+      unmerge_gather: [B, N] — ``restored[n] = merged[unmerge_gather[n]]``;
+                      merged src tokens read back their matched dst token.
+      a_idx, b_idx:   [B, S] / [B, D] src / dst token positions in x.
+      src_idx:        [B, r] positions *within a_idx order* of merged tokens.
+      dst_idx:        [B, r] matched dst (position within b_idx order).
+      unm_idx:        [B, U] positions within a_idx order of kept tokens.
+    """
+
+    merge_gather: jnp.ndarray
+    unmerge_gather: jnp.ndarray
+    a_idx: jnp.ndarray
+    b_idx: jnp.ndarray
+    src_idx: jnp.ndarray
+    dst_idx: jnp.ndarray
+    unm_idx: jnp.ndarray
+
+    @property
+    def unm_num(self) -> int:
+        return self.unm_idx.shape[-1]
+
+    @property
+    def merged_len(self) -> int:
+        return self.merge_gather.shape[-1]
+
+    @property
+    def seq_len(self) -> int:
+        return self.unmerge_gather.shape[-1]
+
+
+def _take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather along the token axis: x [B, N, C], idx [B, K] -> [B, K, C]."""
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def _build_plan(
+    metric: jnp.ndarray,
+    a_idx: jnp.ndarray,
+    b_idx: jnp.ndarray,
+    r: int,
+    align_batch: bool,
+) -> MergePlan:
+    """Shared matching core: cosine-sim src->dst, greedy top-r by best-match
+    score (reference: merge.py:83-117), then bake gather maps.
+
+    ``a_idx``/``b_idx``: [B, S] / [B, D] token positions (already batched).
+    """
+    B, N, _ = metric.shape
+    S, D = a_idx.shape[-1], b_idx.shape[-1]
+    U = S - r
+
+    # Cosine similarity on normalized metric; matmul rides the MXU in bf16
+    # with fp32 accumulation.
+    mnorm = metric / jnp.clip(
+        jnp.linalg.norm(metric.astype(jnp.float32), axis=-1, keepdims=True), 1e-6
+    )
+    src_m = _take(mnorm, a_idx).astype(jnp.bfloat16)
+    dst_m = _take(mnorm, b_idx).astype(jnp.bfloat16)
+    scores = jnp.einsum("bsc,bdc->bsd", src_m, dst_m,
+                        preferred_element_type=jnp.float32)
+
+    if align_batch:
+        # One matching shared by every batch lane (needed for PnP: the
+        # source / uncond / cond lanes must merge coherently,
+        # reference: merge.py:93-108). Greedy over all lanes' scores.
+        flat = jnp.transpose(scores, (1, 0, 2)).reshape(S, B * D)
+        node_max = jnp.max(flat, axis=-1)
+        node_idx = jnp.argmax(flat, axis=-1).astype(jnp.int32) % D
+        order = jnp.argsort(-node_max).astype(jnp.int32)
+        src_idx = jnp.broadcast_to(order[:r], (B, r))
+        unm_idx = jnp.broadcast_to(order[r:], (B, U))
+        dst_idx = jnp.broadcast_to(node_idx[order[:r]], (B, r))
+    else:
+        node_max = jnp.max(scores, axis=-1)
+        node_idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        order = jnp.argsort(-node_max, axis=-1).astype(jnp.int32)
+        src_idx = order[:, :r]
+        unm_idx = order[:, r:]
+        dst_idx = jnp.take_along_axis(node_idx, src_idx, axis=1)
+
+    # merged = [ src[unm_idx] | dst ]  — a single gather from x.
+    merge_gather = jnp.concatenate(
+        [jnp.take_along_axis(a_idx, unm_idx, axis=1), b_idx], axis=1
+    )
+
+    # Inverse map: every original position reads one merged position.
+    #   b_idx[j]            <- U + j
+    #   a_idx[unm_idx[i]]   <- i
+    #   a_idx[src_idx[k]]   <- U + dst_idx[k]
+    barange = jnp.arange(B, dtype=jnp.int32)[:, None]
+    inv = jnp.zeros((B, N), dtype=jnp.int32)
+    inv = inv.at[barange, b_idx].set(U + jnp.arange(D, dtype=jnp.int32)[None, :])
+    inv = inv.at[barange, jnp.take_along_axis(a_idx, unm_idx, axis=1)].set(
+        jnp.arange(U, dtype=jnp.int32)[None, :]
+    )
+    inv = inv.at[barange, jnp.take_along_axis(a_idx, src_idx, axis=1)].set(
+        U + dst_idx
+    )
+
+    return MergePlan(
+        merge_gather=merge_gather,
+        unmerge_gather=inv,
+        a_idx=a_idx,
+        b_idx=b_idx,
+        src_idx=src_idx,
+        dst_idx=dst_idx,
+        unm_idx=unm_idx,
+    )
+
+
+def merge(x: jnp.ndarray, plan: MergePlan, mode: str = "replace") -> jnp.ndarray:
+    """Apply a merge plan: [B, N, C] -> [B, U + D, C].
+
+    ``replace`` (the reference default) is one gather.  ``mean`` additionally
+    averages each dst token with all src tokens assigned to it
+    (reference: merge.py:127-131, scatter_reduce 'mean' include_self)."""
+    out = _take(x, plan.merge_gather)
+    if mode == "replace":
+        return out
+    if mode == "mean":
+        B = x.shape[0]
+        U = plan.unm_num
+        barange = jnp.arange(B, dtype=jnp.int32)[:, None]
+        src_vals = _take(x, jnp.take_along_axis(plan.a_idx, plan.src_idx, axis=1))
+        acc = out.at[barange, U + plan.dst_idx].add(src_vals)
+        counts = jnp.ones(out.shape[:2], x.dtype).at[
+            barange, U + plan.dst_idx
+        ].add(1.0)
+        return acc / counts[..., None]
+    raise ValueError(f"unknown merge mode: {mode}")
+
+
+def unmerge(y: jnp.ndarray, plan: MergePlan) -> jnp.ndarray:
+    """Invert a merge: [B, U + D, C] -> [B, N, C] (one gather; merged src
+    positions read their matched dst token, reference: merge.py:135-155)."""
+    return _take(y, plan.unmerge_gather)
+
+
+# ---------------------------------------------------------------------------
+# Local (intra-chunk, cross-frame) matching — reference merge.py:20-159.
+# ---------------------------------------------------------------------------
+
+
+def _largest_divisor_leq(n: int, k: int) -> int:
+    for d in range(min(n, k), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def _round_stride(F: int, target_stride: int) -> int:
+    """Effective dst stride for a round: the largest divisor of F that is
+    <= target_stride (so the dst-frame count is static), falling back to F
+    itself (a single dst frame) when no divisor >= 2 fits."""
+    s = _largest_divisor_leq(F, min(max(1, target_stride), F))
+    return s if s >= 2 else F
+
+
+def local_matching(
+    metric: jnp.ndarray,
+    F: int,
+    ratio: float,
+    unm_pre: int,
+    key: jax.Array,
+    target_stride: int = 4,
+    align_batch: bool = False,
+) -> MergePlan | None:
+    """One round of random-dst-frame bipartite matching over joined frames.
+
+    ``metric``: [B, N, C] with N = unm_pre + F * tnum.  One frame in every
+    ``stride`` consecutive frames (chosen by ``key``) becomes dst; all other
+    frames are src; the previous unmerged prefix joins dst.  Returns None for
+    a degenerate config (ratio <= 0 or F < 2).
+    """
+    B, N, _ = metric.shape
+    if ratio <= 0 or F < 2:
+        return None
+    tnum = (N - unm_pre) // F
+    stride = _round_stride(F, target_stride)
+    n_dst_frames = F // stride
+
+    randf = jax.random.randint(key, (), 0, stride)
+    frames = jnp.arange(F, dtype=jnp.int32)
+    is_dst = (frames % stride) == randf
+    # Stable sort: src frames (in order) first, dst frames last.
+    perm = jnp.argsort(is_dst, stable=True).astype(jnp.int32)
+    src_frames = perm[: F - n_dst_frames]
+    dst_frames = perm[F - n_dst_frames:]
+
+    tok = jnp.arange(tnum, dtype=jnp.int32)
+    a_idx = (unm_pre + src_frames[:, None] * tnum + tok[None, :]).reshape(-1)
+    b_frame_idx = (unm_pre + dst_frames[:, None] * tnum + tok[None, :]).reshape(-1)
+    b_idx = jnp.concatenate([b_frame_idx, jnp.arange(unm_pre, dtype=jnp.int32)])
+
+    S = (F - n_dst_frames) * tnum
+    r = min(S, int(S * ratio))
+    return _build_plan(
+        metric,
+        jnp.broadcast_to(a_idx, (B, S)),
+        jnp.broadcast_to(b_idx, (B, b_idx.shape[0])),
+        r,
+        align_batch,
+    )
+
+
+def local_merge_rounds(F: int, target_stride: int) -> list[int]:
+    """Static round structure: frame counts at the start of each matching
+    round (reference: patch.py:44-54 recursive while curF > 1)."""
+    rounds = []
+    curF = F
+    while curF > 1:
+        rounds.append(curF)
+        curF = curF // _round_stride(curF, target_stride)
+    return rounds
+
+
+def compute_local_merge(
+    tokens: jnp.ndarray,
+    F: int,
+    ratio: float,
+    key: jax.Array,
+    target_stride: int = 4,
+    align_batch: bool = False,
+    mode: str = "replace",
+) -> tuple[jnp.ndarray, list[MergePlan]]:
+    """Recursively merge F joined frames down to one set
+    (reference: patch.py:44-56).  Returns (merged_tokens, plans); undo with
+    :func:`unmerge_all`."""
+    plans: list[MergePlan] = []
+    unm = 0
+    for curF in local_merge_rounds(F, target_stride):
+        key, sub = jax.random.split(key)
+        plan = local_matching(
+            tokens, curF, ratio, unm, sub,
+            target_stride=target_stride, align_batch=align_batch,
+        )
+        if plan is None:
+            break
+        tokens = merge(tokens, plan, mode)
+        unm += plan.unm_num
+        plans.append(plan)
+    return tokens, plans
+
+
+def unmerge_all(y: jnp.ndarray, plans: Sequence[MergePlan]) -> jnp.ndarray:
+    for plan in reversed(plans):
+        y = unmerge(y, plan)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Global (inter-chunk, vs token bank) matching — reference merge.py:343-463.
+# ---------------------------------------------------------------------------
+
+
+def two_set_matching(
+    metric: jnp.ndarray,
+    src_len: int,
+    ratio: float,
+    align_batch: bool = False,
+) -> MergePlan | None:
+    """Match the first ``src_len`` tokens (src) against the rest (dst).
+
+    Used for global token merging: ``metric = concat([A, B], axis=1)`` where
+    the coin flip upstream decided whether the chunk-local tokens or the
+    global bank plays src.  Unmerge restores the full concatenated sequence;
+    slice the partition you need with :func:`partition`."""
+    B, N, _ = metric.shape
+    if ratio <= 0:
+        return None
+    S = src_len
+    D = N - src_len
+    r = min(S, int(S * ratio))
+    a_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    b_idx = jnp.broadcast_to(S + jnp.arange(D, dtype=jnp.int32), (B, D))
+    return _build_plan(metric, a_idx, b_idx, r, align_batch)
+
+
+def partition(x_full: jnp.ndarray, src_len: int, chunk: jnp.ndarray | int) -> jnp.ndarray:
+    """Select partition 0 ([:src_len]) or 1 ([src_len:]) of an unmerged
+    two-set sequence; ``chunk`` may be traced (both partitions must have the
+    same length for a traced selector)."""
+    if isinstance(chunk, int):
+        return x_full[:, :src_len] if chunk == 0 else x_full[:, src_len:]
+    total = x_full.shape[1]
+    assert total == 2 * src_len, (
+        "traced partition selection requires equal-size partitions")
+    start = jnp.where(chunk == 0, 0, src_len)
+    return jax.lax.dynamic_slice_in_dim(x_full, start, src_len, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Frame join/split (reference vidtome/utils.py:32-41).
+# ---------------------------------------------------------------------------
+
+
+def join_frames(x: jnp.ndarray, F: int) -> jnp.ndarray:
+    """(B*F, N, C) -> (B, F*N, C)."""
+    BF, N, C = x.shape
+    return x.reshape(BF // F, F * N, C)
+
+
+def split_frames(x: jnp.ndarray, F: int) -> jnp.ndarray:
+    """(B, F*N, C) -> (B*F, N, C)."""
+    B, FN, C = x.shape
+    return x.reshape(B * F, FN // F, C)
