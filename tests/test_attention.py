@@ -1,0 +1,70 @@
+"""Flash attention kernel vs reference oracle (interpret mode on CPU)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidtome_tpu.ops.attention import (flash_attention, reference_attention)
+
+
+def _qkv(key, B, H, Sq, Skv, D, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, Sq, D), dtype)
+    k = jax.random.normal(kk, (B, H, Skv, D), dtype)
+    v = jax.random.normal(kv, (B, H, Skv, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("Sq,Skv,D", [
+    (256, 256, 64),      # aligned self-attention
+    (300, 300, 40),      # unaligned merged-token sequence, SD1.5 head dim
+    (512, 77, 64),       # cross-attention vs text tokens
+    (128, 1024, 160),    # long kv, SD mid-block head dim
+])
+def test_flash_matches_reference(Sq, Skv, D):
+    q, k, v = _qkv(jax.random.key(0), 2, 3, Sq, Skv, D)
+    expected = reference_attention(q, k, v)
+    got = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_kv_padding_mask():
+    """Padded KV tokens must not contribute: result with kv_valid_len == n
+    equals attention over only the first n tokens."""
+    Sq, Skv, n, D = 64, 256, 200, 32
+    q, k, v = _qkv(jax.random.key(1), 1, 2, Sq, Skv, D)
+    expected = reference_attention(q, k[:, :, :n], v[:, :, :n])
+    got = flash_attention(q, k, v, kv_valid_len=n, interpret=True,
+                          block_q=64, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_reference_mask_matches_slicing():
+    q, k, v = _qkv(jax.random.key(2), 1, 1, 32, 128, 16)
+    a = reference_attention(q, k, v, kv_valid_len=90)
+    b = reference_attention(q, k[:, :, :90], v[:, :, :90])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_sm_scale_default():
+    q, k, v = _qkv(jax.random.key(3), 1, 1, 64, 64, 32)
+    a = reference_attention(q, k, v)
+    b = reference_attention(q, k, v, sm_scale=1.0 / math.sqrt(32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_bf16_inputs():
+    q, k, v = _qkv(jax.random.key(4), 1, 2, 256, 256, 64, dtype=jnp.bfloat16)
+    expected = reference_attention(q.astype(jnp.float32),
+                                   k.astype(jnp.float32),
+                                   v.astype(jnp.float32))
+    got = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(expected), rtol=5e-2, atol=5e-2)

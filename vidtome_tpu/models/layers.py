@@ -1,0 +1,361 @@
+"""Flax building blocks for the Stable Diffusion model family.
+
+Owned implementation of the layer zoo the reference delegates to HuggingFace
+diffusers (SURVEY.md L5): resnet blocks, spatial transformers with
+cross-attention, GEGLU feed-forward, up/down samplers, timestep embeddings —
+in NHWC (TPU-native conv layout), bf16 compute with fp32 norms, and with
+cross-frame token merging (ToMe) and PnP injection integrated as
+first-class block features instead of monkey-patches.
+
+Weight-layout compatibility: parameter names/shapes are chosen so a
+converter can map diffusers torch checkpoints (OIHW conv kernels -> HWIO,
+linear weights transposed); see models/convert.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vidtome_tpu.core import merge as merge_ops
+from vidtome_tpu.models.tome import ToMeCall, ToMeConfig
+from vidtome_tpu.ops.attention import attention
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (SD convention: flip_sin_to_cos=True,
+    freq_shift=0). t: [] or [B] -> [B, dim]."""
+    t = jnp.atleast_1d(t).astype(jnp.float32)
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift)
+    )
+    args = t[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP on the sinusoidal embedding."""
+
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(emb)
+        return emb
+
+
+def _group_norm(x, name, num_groups=32, eps=1e-5):
+    """GroupNorm with fp32 statistics regardless of compute dtype.  Clamps
+    the group count for tiny test configs (SD channel counts are always
+    multiples of 32)."""
+    dtype = x.dtype
+    groups = num_groups
+    while x.shape[-1] % groups != 0:
+        groups //= 2
+    out = nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=jnp.float32,
+                       name=name)(x.astype(jnp.float32))
+    return out.astype(dtype)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> silu -> conv3x3 -> +temb -> GN -> silu -> conv3x3 (+shortcut).
+
+    PnP conv-feature injection (reference utils/pnp_utils.py:146-155): when
+    ``inject`` is true, lanes 1.. of the batch take lane 0's features after
+    conv2, before the shortcut add."""
+
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, temb, inject: Optional[jnp.ndarray] = None,
+                 num_lanes: int = 1):
+        h = _group_norm(x, "norm1")
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
+                             name="time_emb_proj")(nn.silu(temb))
+        h = h + temb_proj[:, None, None, :]
+        h = _group_norm(h, "norm2")
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+
+        if inject is not None and num_lanes > 1:
+            h = inject_lane0(h, num_lanes, inject)
+
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+def inject_lane0(x: jnp.ndarray, num_lanes: int, flag: jnp.ndarray) -> jnp.ndarray:
+    """Replace every lane's values with lane 0's when ``flag`` is true.
+
+    The batch axis is lane-major: [lane0 block | lane1 block | ...] where a
+    block is either one joined sample or F frames.  This implements both PnP
+    attention QK sharing and conv feature injection as a select, keeping the
+    compiled graph static (reference does in-place slice assignment,
+    utils/pnp_utils.py:62-70,146-155)."""
+    per = x.shape[0] // num_lanes
+    lane0 = jnp.tile(x[:per], (num_lanes,) + (1,) * (x.ndim - 1))
+    return jnp.where(flag, lane0, x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention with flash-attention on the hot path.
+
+    ``share_qk``: traced bool — PnP source-attention injection: q and k come
+    from lane 0 (the source branch) for every lane, so all lanes reuse the
+    source attention map on their own values
+    (reference utils/pnp_utils.py:47-95)."""
+
+    query_dim: int
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None
+    dtype: Any = jnp.bfloat16
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, context=None, share_qk=None, num_lanes: int = 1,
+                 kv_valid_len: Optional[int] = None):
+        inner = self.heads * self.head_dim
+        is_cross = context is not None
+        ctx = context if is_cross else x
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        if share_qk is not None and num_lanes > 1:
+            q = inject_lane0(q, num_lanes, share_qk)
+            k = inject_lane0(k, num_lanes, share_qk)
+
+        B, S, _ = q.shape
+        Skv = k.shape[1]
+
+        def split_heads(t, s):
+            return t.reshape(B, s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        out = attention(
+            split_heads(q, S), split_heads(k, Skv), split_heads(v, Skv),
+            kv_valid_len=kv_valid_len, use_pallas=self.use_pallas,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+def _layer_norm(x, name, eps=1e-5):
+    dtype = x.dtype
+    out = nn.LayerNorm(epsilon=eps, dtype=jnp.float32,
+                       name=name)(x.astype(jnp.float32))
+    return out.astype(dtype)
+
+
+class TransformerBlock(nn.Module):
+    """Transformer block with integrated cross-frame token merging.
+
+    The merging wraps ONLY self-attention (the diffusers path of the
+    reference, patch.py:148-169): norm1 -> [join frames -> local merge ->
+    optional global merge vs bank] -> attn1 -> unmerge -> residual ->
+    norm2 -> attn2(cross) -> residual -> norm3 -> ff -> residual.
+    """
+
+    dim: int
+    heads: int
+    head_dim: int
+    context_dim: int
+    downsample: int                       # static spatial downsample of this level
+    tome: Optional[ToMeConfig] = None
+    dtype: Any = jnp.bfloat16
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, context, tome_call: Optional[ToMeCall] = None,
+                 attn_inject=None, num_lanes: int = 1):
+        cfg = self.tome
+        do_merge = (
+            cfg is not None
+            and tome_call is not None
+            and self.downsample <= cfg.max_downsample
+            and cfg.frames > 1
+        )
+
+        norm_x = _layer_norm(x, "norm1")
+
+        if do_merge:
+            F = cfg.frames
+            key_local, key_coin = jax.random.split(
+                jax.random.fold_in(tome_call.key, 0))
+            joined = merge_ops.join_frames(norm_x, F)
+            local_tokens, plans = merge_ops.compute_local_merge(
+                joined, F, cfg.local_merge_ratio, key_local,
+                target_stride=cfg.target_stride,
+                align_batch=cfg.align_batch, mode=cfg.merge_mode,
+            )
+            tokens = local_tokens
+            global_plan = None
+            local_is_src = None
+            L = local_tokens.shape[1]
+
+            if cfg.merge_global and tome_call.bank_mode != "off":
+                bank = self.variable(
+                    "tome_bank", "bank",
+                    lambda: jnp.zeros(local_tokens.shape, local_tokens.dtype))
+                if tome_call.bank_mode == "init":
+                    bank.value = jax.lax.stop_gradient(local_tokens)
+                else:
+                    # Coin flip: which side plays src (reference
+                    # patch.py:59-75). Both partitions have length L so the
+                    # concat order is a traced select with static shapes.
+                    coin = jax.random.uniform(key_coin, ())
+                    local_is_src = coin > cfg.global_rand
+                    bank_tokens = bank.value.astype(local_tokens.dtype)
+                    cat_ls = jnp.concatenate([local_tokens, bank_tokens], 1)
+                    cat_sl = jnp.concatenate([bank_tokens, local_tokens], 1)
+                    tokens_cat = jnp.where(local_is_src, cat_ls, cat_sl)
+                    global_plan = merge_ops.two_set_matching(
+                        tokens_cat, src_len=L, ratio=cfg.global_merge_ratio,
+                        align_batch=cfg.align_batch,
+                    )
+                    tokens = merge_ops.merge(tokens_cat, global_plan,
+                                             cfg.merge_mode)
+                    # Bank update: unmerged LOCAL partition of the merged
+                    # normed tokens (reference patch.py:80).
+                    full = merge_ops.unmerge(tokens, global_plan)
+                    local_part = jnp.where(
+                        local_is_src, full[:, :L], full[:, L:])
+                    bank.value = jax.lax.stop_gradient(local_part)
+
+            attn_out = CrossAttention(
+                query_dim=self.dim, heads=self.heads, head_dim=self.head_dim,
+                dtype=self.dtype, use_pallas=self.use_pallas, name="attn1",
+            )(tokens, share_qk=attn_inject, num_lanes=num_lanes)
+
+            if global_plan is not None:
+                full = merge_ops.unmerge(attn_out, global_plan)
+                attn_out = jnp.where(local_is_src, full[:, :L], full[:, L:])
+            attn_out = merge_ops.unmerge_all(attn_out, plans)
+            attn_out = merge_ops.split_frames(attn_out, F)
+        else:
+            attn_out = CrossAttention(
+                query_dim=self.dim, heads=self.heads, head_dim=self.head_dim,
+                dtype=self.dtype, use_pallas=self.use_pallas, name="attn1",
+            )(norm_x, share_qk=attn_inject, num_lanes=num_lanes)
+
+        x = x + attn_out
+
+        h = _layer_norm(x, "norm2")
+        x = x + CrossAttention(
+            query_dim=self.dim, heads=self.heads, head_dim=self.head_dim,
+            context_dim=self.context_dim, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn2",
+        )(h, context=context)
+
+        h = _layer_norm(x, "norm3")
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> proj_in -> blocks -> proj_out (+residual).
+
+    ``use_linear_projection``: SD2.x uses linear proj (reshape first);
+    SD1.x uses 1x1 conv."""
+
+    channels: int
+    heads: int
+    head_dim: int
+    context_dim: int
+    depth: int = 1
+    downsample: int = 1
+    use_linear_projection: bool = False
+    tome: Optional[ToMeConfig] = None
+    dtype: Any = jnp.bfloat16
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, context, tome_call=None, attn_inject=None,
+                 num_lanes: int = 1):
+        B, H, W, C = x.shape
+        residual = x
+        h = _group_norm(x, "norm", eps=1e-6)
+        if self.use_linear_projection:
+            h = h.reshape(B, H * W, C)
+            h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                        name="proj_in")(h)
+            h = h.reshape(B, H * W, self.channels)
+
+        for i in range(self.depth):
+            h = TransformerBlock(
+                dim=self.channels, heads=self.heads, head_dim=self.head_dim,
+                context_dim=self.context_dim, downsample=self.downsample,
+                tome=self.tome, dtype=self.dtype, use_pallas=self.use_pallas,
+                name=f"transformer_blocks_{i}",
+            )(h, context, tome_call=tome_call, attn_inject=attn_inject,
+              num_lanes=num_lanes)
+
+        if self.use_linear_projection:
+            h = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(B, H, W, self.channels)
+        else:
+            h = h.reshape(B, H, W, self.channels)
+            h = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                        name="proj_out")(h)
+        return h + residual

@@ -1,0 +1,175 @@
+"""Conditional UNet for the Stable Diffusion family (1.5 / 2.0 / 2.1 / 2-depth).
+
+Owned Flax implementation of the denoiser the reference loads from
+HuggingFace diffusers (SURVEY.md L5, `utils/utils.py:19-67`).  NHWC layout,
+bf16 compute, fp32 norms.  Integrates, as explicit call inputs rather than
+monkey-patches:
+
+  * cross-frame token merging (``tome_call`` + the ``tome_bank`` variable
+    collection) in every transformer block at downsample <= max_downsample;
+  * PnP injection flags: source-branch QK sharing on the decoder attention
+    blocks the reference patches (up_blocks[1].attn[1,2], up_blocks[2,3].*,
+    reference utils/pnp_utils.py:100) and conv-feature injection on
+    up_blocks[1].resnets[1] (utils/pnp_utils.py:168-170);
+  * ControlNet additive residuals (down/mid), reference utils/utils.py:280-295.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vidtome_tpu.models.layers import (CrossAttention, Downsample2D,
+                                       ResnetBlock2D, TimestepEmbedding,
+                                       Transformer2D, Upsample2D, _group_norm,
+                                       timestep_embedding)
+from vidtome_tpu.models.tome import ToMeCall, ToMeConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    num_heads: Optional[int] = 8        # SD1.x: fixed head count per level
+    head_dim: Optional[int] = None      # SD2.x: fixed head dim (64)
+    transformer_depth: int = 1
+    use_linear_projection: bool = False
+    down_block_types: Sequence[str] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D", "DownBlock2D")
+    up_block_types: Sequence[str] = (
+        "UpBlock2D", "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D", "CrossAttnUpBlock2D")
+
+    def heads_for(self, channels: int) -> tuple[int, int]:
+        if self.head_dim is not None:
+            return channels // self.head_dim, self.head_dim
+        return self.num_heads, channels // self.num_heads
+
+
+SD15_UNET = UNetConfig()
+SD21_UNET = UNetConfig(cross_attention_dim=1024, num_heads=None, head_dim=64,
+                       use_linear_projection=True)
+SD2_DEPTH_UNET = dataclasses.replace(SD21_UNET, in_channels=5)
+
+TINY_UNET = UNetConfig(
+    block_out_channels=(32, 64), layers_per_block=1, cross_attention_dim=32,
+    num_heads=2,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"))
+
+
+class UNet2DConditionModel(nn.Module):
+    config: UNetConfig = SD15_UNET
+    tome: Optional[ToMeConfig] = None
+    dtype: Any = jnp.bfloat16
+    use_pallas: Optional[bool] = None
+
+    def _transformer(self, channels: int, level: int, name: str):
+        heads, head_dim = self.config.heads_for(channels)
+        return Transformer2D(
+            channels=channels, heads=heads, head_dim=head_dim,
+            context_dim=self.config.cross_attention_dim,
+            depth=self.config.transformer_depth,
+            downsample=2 ** level,
+            use_linear_projection=self.config.use_linear_projection,
+            tome=self.tome, dtype=self.dtype, use_pallas=self.use_pallas,
+            name=name)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                 # [B, H, W, Cin]
+        t: jnp.ndarray,                 # scalar timestep
+        context: jnp.ndarray,           # [B, Stxt, Dctx]
+        tome_call: Optional[ToMeCall] = None,
+        attn_inject: Optional[jnp.ndarray] = None,   # traced bool (PnP)
+        conv_inject: Optional[jnp.ndarray] = None,   # traced bool (PnP)
+        num_lanes: int = 1,
+        down_residuals: Optional[Sequence[jnp.ndarray]] = None,  # ControlNet
+        mid_residual: Optional[jnp.ndarray] = None,              # ControlNet
+    ) -> jnp.ndarray:
+        cfg = self.config
+        B = x.shape[0]
+        ch0 = cfg.block_out_channels[0]
+        temb = timestep_embedding(t, ch0)
+        temb = TimestepEmbedding(ch0 * 4, dtype=self.dtype,
+                                 name="time_embedding")(temb.astype(self.dtype))
+        temb = jnp.broadcast_to(temb, (B, temb.shape[-1]))
+
+        h = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        skips = [h]
+
+        # ---- down blocks ----------------------------------------------------
+        for i, (block_type, ch) in enumerate(
+                zip(cfg.down_block_types, cfg.block_out_channels)):
+            has_attn = block_type == "CrossAttnDownBlock2D"
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock2D(ch, dtype=self.dtype,
+                                  name=f"down_{i}_resnets_{j}")(h, temb)
+                if has_attn:
+                    h = self._transformer(ch, i, f"down_{i}_attentions_{j}")(
+                        h, context, tome_call=tome_call, num_lanes=num_lanes)
+                skips.append(h)
+            if i < len(cfg.block_out_channels) - 1:
+                h = Downsample2D(ch, dtype=self.dtype,
+                                 name=f"down_{i}_downsample")(h)
+                skips.append(h)
+
+        # ---- mid ------------------------------------------------------------
+        ch_mid = cfg.block_out_channels[-1]
+        mid_level = len(cfg.block_out_channels) - 1
+        h = ResnetBlock2D(ch_mid, dtype=self.dtype,
+                          name="mid_resnets_0")(h, temb)
+        h = self._transformer(ch_mid, mid_level, "mid_attentions_0")(
+            h, context, tome_call=tome_call, num_lanes=num_lanes)
+        h = ResnetBlock2D(ch_mid, dtype=self.dtype,
+                          name="mid_resnets_1")(h, temb)
+
+        # ---- ControlNet residuals ------------------------------------------
+        if mid_residual is not None:
+            h = h + mid_residual
+        if down_residuals is not None:
+            assert len(down_residuals) == len(skips), (
+                f"expected {len(skips)} down residuals, got "
+                f"{len(down_residuals)}")
+            skips = [s + r for s, r in zip(skips, down_residuals)]
+
+        # ---- up blocks ------------------------------------------------------
+        rev_channels = list(cfg.block_out_channels)[::-1]
+        n_up = len(cfg.up_block_types)
+        for i, (block_type, ch) in enumerate(zip(cfg.up_block_types,
+                                                 rev_channels)):
+            has_attn = block_type == "CrossAttnUpBlock2D"
+            level = n_up - 1 - i
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                # PnP conv injection: up block 1, resnet 1 only.
+                inj = conv_inject if (i == 1 and j == 1) else None
+                h = ResnetBlock2D(ch, dtype=self.dtype,
+                                  name=f"up_{i}_resnets_{j}")(
+                    h, temb, inject=inj, num_lanes=num_lanes)
+                if has_attn:
+                    # PnP attention injection: up1.attn[1,2] + all of up2, up3
+                    # (reference utils/pnp_utils.py:100 res_dict).
+                    pnp_here = (i >= 2) or (i == 1 and j >= 1)
+                    inj_a = attn_inject if pnp_here else None
+                    h = self._transformer(ch, level, f"up_{i}_attentions_{j}")(
+                        h, context, tome_call=tome_call, attn_inject=inj_a,
+                        num_lanes=num_lanes)
+            if i < n_up - 1:
+                h = Upsample2D(ch, dtype=self.dtype,
+                               name=f"up_{i}_upsample")(h)
+
+        h = _group_norm(h, "conv_norm_out")
+        h = nn.silu(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_out")(h)
+        return h

@@ -1,0 +1,195 @@
+"""Attention ops: Pallas flash attention for TPU + a reference jnp oracle.
+
+This is the hot path of the whole framework: every UNet transformer block
+runs self-attention over *merged* multi-frame token sequences (~1.2k-11k
+tokens after local/global merging at 512p) and cross-attention against 77
+text tokens.  The reference delegates this to xformers CUDA kernels
+(`invert.py:39-43` in lixirui142/VidToMe); here it is a Pallas TPU kernel:
+
+  * online-softmax tiling (never materializes the [S, S] score matrix),
+  * fp32 running statistics with deferred normalization,
+  * padding masks on the KV axis so merged sequences (whose lengths are
+    static but not 128-aligned) pad to MXU-friendly tiles,
+  * batch*heads folded into one parallel grid axis; KV is the sequential
+    ("arbitrary") axis so accumulators live in VMEM scratch across tiles.
+
+Inference-only (no VJP) — the pipeline is zero-shot, nothing backprops.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def reference_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid_len: int | None = None,
+    sm_scale: float | None = None,
+) -> jnp.ndarray:
+    """Plain softmax attention oracle. q,k,v: [B, H, S, D]."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    if kv_valid_len is not None and kv_valid_len < k.shape[2]:
+        mask = jnp.arange(k.shape[2]) < kv_valid_len
+        s = jnp.where(mask[None, None, None, :], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  sm_scale: float, kv_len: int, block_k: int, num_kv_tiles: int):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [block_q, D]
+    k = k_ref[0]  # [block_k, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # [block_q, block_k]
+
+    # Mask padded KV columns (static kv_len baked per compile).
+    col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scr[...]  # [block_q, 128] (lanes equal)
+    l_prev = l_scr[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)  # [block_q, 128]
+
+    p = jnp.exp(s - jnp.broadcast_to(m_next[:, :1], s.shape))  # [block_q, block_k]
+    l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
+    m_scr[...] = m_next
+
+    v = v_ref[0]  # [block_k, D]
+    pv = jax.lax.dot(p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)  # [block_q, D]
+    acc_scr[...] = acc_scr[...] * jnp.broadcast_to(
+        alpha[:, :1], acc_scr.shape) + pv
+
+    @pl.when(kv_idx == num_kv_tiles - 1)
+    def _store():
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * jnp.broadcast_to(l_inv, acc_scr.shape)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kv_valid_len", "sm_scale", "block_q", "block_k",
+                     "interpret"),
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid_len: int | None = None,
+    sm_scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention. q: [B, H, Sq, D]; k, v: [B, H, Skv, D] -> [B, H, Sq, D].
+
+    ``kv_valid_len``: number of real KV tokens (rest of Skv is padding to be
+    masked).  Q-side padding needs no mask — padded query rows produce
+    garbage that the caller slices off.
+    """
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    kv_len = Skv if kv_valid_len is None else kv_valid_len
+
+    block_q = min(block_q, _round_up(Sq, 128))
+    block_k = min(block_k, _round_up(Skv, 128))
+    Sq_p = _round_up(Sq, block_q)
+    Skv_p = _round_up(Skv, block_k)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
+
+    qf = qp.reshape(B * H, Sq_p, D)
+    kf = kp.reshape(B * H, Skv_p, D)
+    vf = vp.reshape(B * H, Skv_p, D)
+
+    num_kv_tiles = Skv_p // block_k
+    grid = (B * H, Sq_p // block_q, num_kv_tiles)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        sm_scale=sm_scale,
+        kv_len=kv_len,
+        block_k=block_k,
+        num_kv_tiles=num_kv_tiles,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, D), jnp.float32),    # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    return out.reshape(B, H, Sq_p, D)[:, :, :Sq, :]
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid_len: int | None = None,
+    sm_scale: float | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Dispatch: Pallas on TPU, reference elsewhere. q,k,v: [B, H, S, D]."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return flash_attention(q, k, v, kv_valid_len=kv_valid_len,
+                               sm_scale=sm_scale)
+    return reference_attention(q, k, v, kv_valid_len=kv_valid_len,
+                               sm_scale=sm_scale)
