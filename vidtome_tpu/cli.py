@@ -1,0 +1,38 @@
+"""End-to-end CLI: invert then generate (reference run_vidtome.py:5-21)."""
+
+from __future__ import annotations
+
+from vidtome_tpu.config import load_config
+from vidtome_tpu.models.registry import init_model
+from vidtome_tpu.pipeline.common import get_frame_ids
+from vidtome_tpu.pipeline.generator import Generator
+from vidtome_tpu.pipeline.inverter import Inverter
+from vidtome_tpu.utils import seed_everything
+
+
+def main(argv=None):
+    config = load_config(argv)
+    bundle = init_model(
+        sd_version=str(config.get("sd_version", "1.5")),
+        model_key=config.get("model_key", None),
+        control=str(config.generation.get("control", "none")),
+        weight_dtype=str(config.get("float_precision", "bf16")),
+        controlnet_root=config.get("controlnet_root", None),
+    )
+    config["model_key"] = bundle.model_key
+    seed_everything(int(config.get("seed", 123)))
+
+    print("Start inversion!")
+    inverter = Inverter(bundle, config)
+    inverter(config.input_path, config.inversion.save_path)
+
+    print("Start generation!")
+    generator = Generator(bundle, config)
+    frame_ids = get_frame_ids(config.generation.get("frame_range", None),
+                              config.generation.get("frame_ids", None))
+    generator(config.input_path, config.generation.latents_path,
+              config.generation.output_path, frame_ids=frame_ids)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Shared pipeline runtime: text embedding, batched VAE coding, frame ids.
+
+The jitted closures here are the building blocks both stages share
+(reference spreads these across invert.py:70-115 and generate.py:100-170)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidtome_tpu.models.registry import ModelBundle
+from vidtome_tpu.models.vae import AutoencoderKL
+
+
+class TextEncoder:
+    """Tokenize + encode prompts to UNet cross-attention context."""
+
+    def __init__(self, bundle: ModelBundle):
+        self._tokenizer = bundle.tokenizer
+        model = bundle.make_text_model()
+        self._params = bundle.text_params
+
+        @jax.jit
+        def encode(params, ids):
+            return model.apply({"params": params}, ids)
+
+        self._encode = encode
+
+    def __call__(self, prompts: str | list[str]) -> jnp.ndarray:
+        ids = jnp.asarray(self._tokenizer(prompts))
+        return self._encode(self._params, ids)
+
+    def embed_cfg(self, prompt: str, negative_prompt: str | None,
+                  pnp: bool = False) -> jnp.ndarray:
+        """[uncond; cond] (+ leading empty-prompt lane for PnP,
+        reference generate.py:100-108)."""
+        lanes = []
+        if pnp:
+            lanes.append(self("")[0])
+        lanes.append(self(negative_prompt or "")[0])
+        lanes.append(self(prompt)[0])
+        return jnp.stack(lanes)
+
+
+class VAECoder:
+    """Batched, jitted VAE encode/decode (reference invert.py:91-115)."""
+
+    def __init__(self, bundle: ModelBundle, batch_size: int = 8):
+        self.batch_size = batch_size
+        vae = bundle.make_vae()
+        self._params = bundle.vae_params
+        dtype = bundle.dtype
+
+        @jax.jit
+        def encode(params, imgs):
+            return vae.apply({"params": params}, (imgs * 2 - 1).astype(dtype),
+                             method=AutoencoderKL.encode)
+
+        @jax.jit
+        def decode(params, lat):
+            return vae.apply({"params": params}, lat.astype(dtype),
+                             method=AutoencoderKL.decode)
+
+        self._encode = encode
+        self._decode = decode
+
+    def _batched(self, fn, x: jnp.ndarray) -> jnp.ndarray:
+        n = x.shape[0]
+        bs = self.batch_size
+        pad = (-n) % bs
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        outs = [fn(self._params, x[i: i + bs])
+                for i in range(0, x.shape[0], bs)]
+        return jnp.concatenate(outs)[:n]
+
+    def encode(self, images: jnp.ndarray) -> jnp.ndarray:
+        """[T, H, W, 3] in [0,1] -> scaled latents [T, H/8, W/8, 4]."""
+        return self._batched(self._encode, jnp.asarray(images))
+
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """Scaled latents -> images [T, H, W, 3] in [0,1] (fp32)."""
+        return self._batched(self._decode, jnp.asarray(latents))
+
+
+def get_frame_ids(frame_range, frame_ids=None) -> list[int]:
+    """[start, end, step] / [end] / explicit ids (reference
+    utils/utils.py:298-309)."""
+    if frame_ids is None:
+        frame_ids = list(range(*frame_range))
+    frame_ids = sorted(frame_ids)
+    if len(frame_ids) > 4:
+        shown = "{} {} ... {} {}".format(*frame_ids[:2], *frame_ids[-2:])
+    else:
+        shown = " ".join(str(i) for i in frame_ids)
+    print("[INFO] frame indexes: ", shown)
+    return frame_ids
+
+
+def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 1.0) -> float:
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * float(np.log10(max_val ** 2 / mse))
+
+
+def resolve_precision(config, stage_cfg) -> str:
+    """Stage-level float_precision falls back to the global setting
+    (reference invert.py:26)."""
+    return stage_cfg.get("float_precision", config.get("float_precision",
+                                                       "bf16"))
