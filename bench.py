@@ -1,0 +1,113 @@
+"""Benchmark: edit throughput of the generation stage on one TPU chip.
+
+Measures the BASELINE.md headline: frames/sec editing a 32-frame 512p clip
+at 50 DDIM steps (CFG batch 2, chunk 4, local merge 0.9 + global merge 0.8
+— the reference's default working config) through the REAL Generator code
+path (chunk scheduling, token banks, DDIM updates) plus VAE decode.
+
+Weights are random (zero-egress environment — identical compute graph and
+cost to real SD1.5 weights).  Timing forces device completion via scalar
+fetches: on tunneled backends ``block_until_ready`` alone does not wait.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+denominator is an analytic A100-PyTorch-fp16 estimate for the same
+workload: SD1.5 UNet ~0.68 TFLOP/frame-step x 2 CFG lanes x 50 steps at
+~45% MFU with ~25% attention savings from merging => ~1.8 frames/s.  The
+north-star target is vs_baseline >= 3.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/1.8}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+A100_BASELINE_FPS = 1.8
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--quick", action="store_true",
+                        help="5 steps / 8 frames smoke run")
+    args = parser.parse_args()
+    if args.quick:
+        args.frames, args.steps = 8, 5
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vidtome_tpu.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from vidtome_tpu.config import Config
+    from vidtome_tpu.models.registry import init_model
+    from vidtome_tpu.pipeline.generator import Generator
+    from vidtome_tpu.core import chunk as chunking
+
+    t0 = time.time()
+    bundle = init_model(sd_version="1.5", weight_dtype="bf16")
+    print(f"[bench] model ready in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    latent = args.size // 8
+    cfg = Config({
+        "sd_version": "1.5", "height": args.size, "width": args.size,
+        "seed": 123, "work_dir": "/tmp/bench", "float_precision": "bf16",
+        "generation": {
+            "control": "none", "guidance_scale": 7.5,
+            "n_timesteps": args.steps, "negative_prompt": "ugly, blurry",
+            "prompt": {"edit": "benchmark prompt"},
+            "latents_path": "/tmp/bench", "output_path": "/tmp/bench",
+            "chunk_size": 4, "chunk_ord": "mix-4",
+            "local_merge_ratio": 0.9, "merge_global": True,
+            "global_merge_ratio": 0.8, "global_rand": 0.5,
+            "align_batch": False, "save_frame": False,
+        },
+    })
+    gen = Generator(bundle, cfg)
+
+    # Inject synthetic prepared data (bench has no inversion cache).
+    gen.n_frames = args.frames
+    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.depth = None
+    gen.control_images = None
+    latents = jax.random.normal(
+        jax.random.key(0), (gen.n_padded, latent, latent, 4), jnp.bfloat16)
+    context = gen.text.embed_cfg("a benchmark prompt", "ugly, blurry")
+
+    # Warmup: compile both bank variants + ddim + decode.
+    t0 = time.time()
+    gen.warmup(latents, context)
+    _ = float(jnp.sum(gen.vae.decode(latents[:4])))
+    print(f"[bench] warmup/compile in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    # Timed run: full generation + decode, forced completion.
+    t0 = time.time()
+    clean = gen.ddim_sample(latents, context)
+    frames_out = gen.vae.decode(clean[: args.frames])
+    checksum = float(jnp.sum(frames_out))  # forces full execution
+    elapsed = time.time() - t0
+
+    fps = args.frames / elapsed
+    result = {
+        "metric": "edit_frames_per_sec_512p_50step_1xv5e",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
+    }
+    print(f"[bench] {args.frames} frames x {args.steps} steps in "
+          f"{elapsed:.2f}s (checksum {checksum:.2f})", file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

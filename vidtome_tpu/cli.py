@@ -11,6 +11,9 @@ from vidtome_tpu.utils import seed_everything
 
 
 def main(argv=None):
+    from vidtome_tpu.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
     config = load_config(argv)
     bundle = init_model(
         sd_version=str(config.get("sd_version", "1.5")),

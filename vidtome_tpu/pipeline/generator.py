@@ -102,41 +102,76 @@ class Generator:
             self._params["controlnet"] = bundle.controlnet_params
 
         self.base_key = jax.random.key(self.seed)
-        self._chunk_fns = {
-            mode: self._build_chunk_fn(mode)
-            for mode in (("init", "merge") if self.merge_global else ("off",))
-        }
-        self._ddim = jax.jit(ddim_step)
+
+        # Alpha-bar / timestep tables as device arrays gathered by a
+        # *traced* step index: indexing with a Python int would bake a new
+        # executable per step (catastrophic on remote-compile backends).
+        sch = self.scheduler
+        a_t_all = np.stack([np.asarray(sch.sample_alpha_pair(i)[0])
+                            for i in range(sch.num_steps)])
+        a_prev_all = np.stack([np.asarray(sch.sample_alpha_pair(i)[1])
+                               for i in range(sch.num_steps)])
+        self._alpha_tables = (jnp.asarray(a_t_all), jnp.asarray(a_prev_all))
+        self._t_table = jnp.asarray(np.asarray(sch.timesteps, np.int32))
+
+        @jax.jit
+        def ddim(x, eps, tables, i):
+            a_t_tab, a_prev_tab = tables
+            # update in fp32 (alpha scalars promote), back to latent dtype —
+            # otherwise every downstream jit retraces in f32.
+            return ddim_step(x, eps, a_t_tab[i], a_prev_tab[i]).astype(x.dtype)
+
+        self._ddim = ddim
+        self._step = self._build_step_fn()
 
     # ------------------------------------------------------------------
 
-    def _build_chunk_fn(self, bank_mode: str):
+    def _build_step_fn(self):
+        """One jitted function per FULL timestep: init chunk + lax.scan over
+        the remaining chunks (global token bank as scan carry) + DDIM
+        update.  A single dispatch per step keeps host/dispatch overhead off
+        the device timeline — the chunk loop is the reference's Python loop
+        (generate.py:215-219) turned into compiled control flow."""
         unet = self.unet
         use_pnp, use_depth = self.use_pnp, self.use_depth
         use_controlnet = self.use_controlnet
         num_lanes = self.num_lanes
-        stateful = self.merge_global and bank_mode != "off"
+        merge_global = self.merge_global
         controlnet = self.controlnet if use_controlnet else None
         control_scale = self.control_scale
 
-        @jax.jit
-        def chunk_eps(params, x_chunk, banks, t, context, key, attn_flag,
-                      conv_flag, source_chunk, depth_chunk, control_chunk,
-                      guidance_scale):
+        t_table = self._t_table
+        alpha_tables = self._alpha_tables
+        base_key = self.base_key
+        pnp_attn_steps = getattr(self, "pnp_attn_steps", 0)
+        pnp_conv_steps = getattr(self, "pnp_conv_steps", 0)
+
+        def chunk_eps(bank_mode, params, x_full, eps_buf, fidx, banks,
+                      step_i, chunk_pos, context, source_full, depth_full,
+                      control_full, guidance_scale):
+            """Gather one chunk, run CFG lanes through the merged UNet,
+            scatter eps back into the full buffer."""
             unet_params = params["unet"]
             cn_params = params.get("controlnet")
+            n_chunks = eps_buf.shape[0] // fidx.shape[0]
+            t = t_table[step_i]
+            key = jax.random.fold_in(base_key,
+                                     step_i * n_chunks + chunk_pos)
+            attn_flag = step_i < pnp_attn_steps
+            conv_flag = step_i < pnp_conv_steps
+            x_chunk = x_full[fidx]
             F = x_chunk.shape[0]
             lanes = [x_chunk, x_chunk]
             if use_pnp:
-                lanes = [source_chunk.astype(x_chunk.dtype)] + lanes
+                lanes = [source_full[fidx].astype(x_chunk.dtype)] + lanes
             x_in = jnp.concatenate(lanes)
             ctx = jnp.repeat(context, F, axis=0)
             if use_depth:
-                depth = jnp.tile(depth_chunk, (num_lanes, 1, 1, 1))
+                depth = jnp.tile(depth_full[fidx], (num_lanes, 1, 1, 1))
                 x_in = jnp.concatenate([x_in, depth.astype(x_in.dtype)], -1)
             kwargs = {}
             if use_controlnet:
-                cond = jnp.tile(control_chunk, (num_lanes, 1, 1, 1))
+                cond = jnp.tile(control_full[fidx], (num_lanes, 1, 1, 1))
                 down_r, mid_r = controlnet.apply(
                     {"params": cn_params}, x_in, t, ctx, cond,
                     conditioning_scale=control_scale)
@@ -144,13 +179,13 @@ class Generator:
 
             tome_call = ToMeCall(key=key, bank_mode=bank_mode)
             variables = {"params": unet_params}
-            if stateful and banks is not None:
+            if banks is not None:
                 variables["tome_bank"] = banks
             pnp_kwargs = {}
             if use_pnp:
                 pnp_kwargs = dict(attn_inject=attn_flag,
                                   conv_inject=conv_flag)
-            if stateful:
+            if merge_global:
                 eps_all, mut = unet.apply(
                     variables, x_in, t, ctx, tome_call=tome_call,
                     num_lanes=num_lanes, mutable=["tome_bank"],
@@ -163,12 +198,68 @@ class Generator:
                 banks_out = banks
             eps_uncond = eps_all[(num_lanes - 2) * F:(num_lanes - 1) * F]
             eps_cond = eps_all[(num_lanes - 1) * F:]
-            eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
-            return eps, banks_out
+            # CFG combine in fp32 (the reference's autocast leaves this in
+            # reduced precision; fp32 here is free and safer).
+            eps = (eps_uncond.astype(jnp.float32)
+                   + guidance_scale * (eps_cond - eps_uncond).astype(
+                       jnp.float32))
+            eps_buf = eps_buf.at[fidx].set(eps.astype(eps_buf.dtype))
+            return eps_buf, banks_out
 
-        return chunk_eps
+        @jax.jit
+        def step(params, x, step_i, fidx_all, context, source_full,
+                 depth_full, control_full, guidance_scale):
+            """Full timestep: fidx_all [n_chunks, chunk_size] lists each
+            chunk's frame indices in processing order."""
+            n_chunks = fidx_all.shape[0]
+            eps = jnp.zeros_like(x)
+
+            first_mode = "init" if merge_global else "off"
+            eps, banks = chunk_eps(
+                first_mode, params, x, eps, fidx_all[0], None, step_i,
+                jnp.asarray(0, jnp.int32), context, source_full, depth_full,
+                control_full, guidance_scale)
+
+            if n_chunks > 1:
+                rest_mode = "merge" if merge_global else "off"
+
+                def body(carry, inp):
+                    eps, banks = carry
+                    fidx, pos = inp
+                    eps, banks = chunk_eps(
+                        rest_mode, params, x, eps, fidx, banks, step_i, pos,
+                        context, source_full, depth_full, control_full,
+                        guidance_scale)
+                    return (eps, banks), None
+
+                (eps, banks), _ = jax.lax.scan(
+                    body, (eps, banks),
+                    (fidx_all[1:],
+                     jnp.arange(1, n_chunks, dtype=jnp.int32)))
+
+            a_t_tab, a_prev_tab = alpha_tables
+            x_next = ddim_step(x, eps, a_t_tab[step_i], a_prev_tab[step_i])
+            return x_next.astype(x.dtype)
+
+        return step
 
     # ------------------------------------------------------------------
+
+    def warmup(self, x, context):
+        """Compile the full-timestep function (and force completion).
+        Useful where first-compile latency matters."""
+        zero = jnp.zeros((), self.bundle.dtype)
+        depth = self.depth if self.depth is not None else zero
+        control = (self.control_images
+                   if self.control_images is not None else zero)
+        src = x if self.use_pnp else zero
+        gs = jnp.asarray(self.guidance_scale, jnp.float32)
+        n_chunks = x.shape[0] // self.chunk_size
+        fidx_all = jnp.arange(x.shape[0], dtype=jnp.int32).reshape(
+            n_chunks, self.chunk_size)
+        out = self._step(self._params, x, jnp.asarray(0, jnp.int32),
+                         fidx_all, context, src, depth, control, gs)
+        return float(jnp.sum(out))  # force completion
 
     def prepare_data(self, data_path, latents_dir, frame_ids):
         self.frames = load_video(data_path, self.height, self.width,
@@ -214,42 +305,28 @@ class Generator:
         rng = np.random.default_rng(self.seed)
         zero = jnp.zeros((), self.bundle.dtype)
         gs = jnp.asarray(self.guidance_scale, jnp.float32)
+        depth = self.depth if self.depth is not None else zero
+        control = (self.control_images
+                   if self.control_images is not None else zero)
 
         for i in range(sch.num_steps):
-            t = jnp.asarray(int(sch.timesteps[i]))
             if self.use_pnp:
                 src_all = jnp.asarray(artifacts.load_latent(
                     self.latents_dir, int(sch.timesteps[i]),
                     frame_ids=list(range(self.n_frames))))[self.pad_src]
-                attn_flag = jnp.asarray(i < self.pnp_attn_steps)
-                conv_flag = jnp.asarray(i < self.pnp_conv_steps)
             else:
-                src_all, attn_flag, conv_flag = None, zero, zero
+                src_all = zero
 
             schedule = chunking.chunk_schedule(
                 self.n_padded, self.chunk_size, rng,
                 chunk_ord=self.chunk_ord, perm_div=self.perm_div,
                 merge_global=self.merge_global)
+            fidx_all = jnp.asarray(np.stack([
+                schedule.chunk_frames(pos)
+                for pos in range(schedule.n_chunks)]), jnp.int32)
 
-            eps = jnp.zeros_like(x)
-            banks = None
-            for pos in range(schedule.n_chunks):
-                fidx = jnp.asarray(schedule.chunk_frames(pos))
-                mode = ("off" if not self.merge_global
-                        else "init" if pos == 0 else "merge")
-                key = jax.random.fold_in(self.base_key, i * 4096 + pos)
-                eps_chunk, banks = self._chunk_fns[mode](
-                    self._params, x[fidx], banks, t, context, key,
-                    attn_flag, conv_flag,
-                    src_all[fidx] if src_all is not None else zero,
-                    self.depth[fidx] if self.depth is not None else zero,
-                    (self.control_images[fidx]
-                     if self.control_images is not None else zero),
-                    gs)
-                eps = eps.at[fidx].set(eps_chunk)
-
-            a_t, a_prev = sch.sample_alpha_pair(i)
-            x = self._ddim(x, eps, a_t, a_prev)
+            x = self._step(self._params, x, jnp.asarray(i, jnp.int32),
+                           fidx_all, context, src_all, depth, control, gs)
             if (i + 1) % 10 == 0 or i == sch.num_steps - 1:
                 print(f"[INFO] step {i + 1}/{sch.num_steps}")
         return x

@@ -64,9 +64,27 @@ class Inverter:
             self._params["controlnet"] = bundle.controlnet_params
         control_scale = self.control_scale
 
+        # Timestep / alpha tables gathered by traced step index (a Python
+        # int index would bake one executable per step — pathological on
+        # remote-compile backends).
+        sch = self.scheduler
+        t_up = jnp.asarray(np.asarray(sch.timesteps[::-1], np.int32))
+        t_down = jnp.asarray(np.asarray(sch.timesteps, np.int32))
+        inv_a = jnp.asarray(np.stack(
+            [np.asarray(sch.inversion_alpha_pair(i)) for i in
+             range(sch.num_steps)]))  # [S, 2]
+        smp_a = jnp.asarray(np.stack(
+            [np.asarray(sch.sample_alpha_pair(i)) for i in
+             range(sch.num_steps)]))
+        self._tables = dict(t_up=t_up, t_down=t_down, inv_a=inv_a,
+                            smp_a=smp_a)
+
         @jax.jit
-        def eps_fn(params, x, t, context, depth, control_images):
+        def eps_fn(params, x, tables, step_i, inversion, context, depth,
+                   control_images):
             """x: [b, h, w, 4] latents for a frame batch."""
+            t = jnp.where(inversion, tables["t_up"][step_i],
+                          tables["t_down"][step_i])
             if bundle.use_depth:
                 x = jnp.concatenate([x, depth.astype(x.dtype)], axis=-1)
             kwargs = {}
@@ -78,13 +96,24 @@ class Inverter:
             return unet.apply({"params": params["unet"]}, x, t, context,
                               **kwargs)
 
+        @jax.jit
+        def inv_step(x, eps, tables, step_i):
+            a = tables["inv_a"][step_i]
+            # fp32 update, back to the latent dtype (avoids f32 retraces)
+            return ddim_inverse_step(x, eps, a[0], a[1]).astype(x.dtype)
+
+        @jax.jit
+        def sample_step(x, eps, tables, step_i):
+            a = tables["smp_a"][step_i]
+            return ddim_step(x, eps, a[0], a[1]).astype(x.dtype)
+
         self._eps = eps_fn
-        self._inv_step = jax.jit(ddim_inverse_step)
-        self._sample_step = jax.jit(ddim_step)
+        self._inv_step = inv_step
+        self._sample_step = sample_step
 
     # ------------------------------------------------------------------
 
-    def _batched_eps(self, x, t, conds, depth, control):
+    def _batched_eps(self, x, step_i, inversion, conds, depth, control):
         outs = []
         n = x.shape[0]
         bs = self.batch_size
@@ -100,8 +129,8 @@ class Inverter:
         for i in range(0, x_p.shape[0], bs):
             sl = slice(i, i + bs)
             outs.append(self._eps(
-                self._params, self.shard_fn(x_p[sl]), t,
-                self.shard_fn(conds_p[sl]),
+                self._params, self.shard_fn(x_p[sl]), self._tables, step_i,
+                inversion, self.shard_fn(conds_p[sl]),
                 depth_p[sl] if depth_p is not None else jnp.zeros(()),
                 control_p[sl] if control_p is not None else jnp.zeros(())))
         return jnp.concatenate(outs)[:n]
@@ -111,11 +140,12 @@ class Inverter:
         sch = self.scheduler
         ts_up = sch.timesteps[::-1]
         x = latents
+        inv = jnp.asarray(True)
         for i in range(sch.num_steps):
+            step_i = jnp.asarray(i, jnp.int32)
+            eps = self._batched_eps(x, step_i, inv, conds, depth, control)
+            x = self._inv_step(x, eps, self._tables, step_i)
             t = int(ts_up[i])
-            eps = self._batched_eps(x, jnp.asarray(t), conds, depth, control)
-            a_t, a_prev = sch.inversion_alpha_pair(i)
-            x = self._inv_step(x, eps, a_t, a_prev)
             if self.save_intermediate and t in self.timesteps_to_save:
                 artifacts.save_latent(save_dir, t, np.asarray(x, np.float32))
         path = artifacts.save_latent(save_dir, int(ts_up[-1]),
@@ -127,11 +157,11 @@ class Inverter:
         print("[INFO] reconstructing frames...")
         sch = self.scheduler
         x = latents
+        inv = jnp.asarray(False)
         for i in range(sch.num_steps):
-            t = int(sch.timesteps[i])
-            eps = self._batched_eps(x, jnp.asarray(t), conds, depth, control)
-            a_t, a_prev = sch.sample_alpha_pair(i)
-            x = self._sample_step(x, eps, a_t, a_prev)
+            step_i = jnp.asarray(i, jnp.int32)
+            eps = self._batched_eps(x, step_i, inv, conds, depth, control)
+            x = self._sample_step(x, eps, self._tables, step_i)
         return x
 
     def check_latent_exists(self, save_dir) -> bool:
