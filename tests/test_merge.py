@@ -29,13 +29,20 @@ class TestLocalMatching:
         B, F, tnum, C = 2, 4, 16, 8
         x = _rand_tokens(key, B, F * tnum, C)
         plan = M.local_matching(x, F=F, ratio=0.9, unm_pre=0,
-                                key=jax.random.key(1), target_stride=4)
+                                key=jax.random.key(1), target_stride=4,
+                                keep_sorted_indices=True)
         S = 3 * tnum
         r = int(S * 0.9)
         assert plan.a_idx.shape == (B, S)
         assert plan.b_idx.shape == (B, tnum)
         assert plan.src_idx.shape == (B, r)
         assert plan.unm_idx.shape == (B, S - r)
+        # fast path: no sorted index lists, same static shapes otherwise
+        fast = M.local_matching(x, F=F, ratio=0.9, unm_pre=0,
+                                key=jax.random.key(1), target_stride=4)
+        assert fast.src_idx is None and fast.dst_idx is None
+        assert fast.unm_idx.shape == (B, S - r)
+        assert fast.merged_len == plan.merged_len
         assert plan.merged_len == (S - r) + tnum
         assert plan.seq_len == F * tnum
 
@@ -43,7 +50,8 @@ class TestLocalMatching:
         B, F, tnum, C = 2, 4, 16, 8
         x = _rand_tokens(jax.random.key(0), B, F * tnum, C)
         plan = M.local_matching(x, F=F, ratio=0.5, unm_pre=0,
-                                key=jax.random.key(1))
+                                key=jax.random.key(1),
+                                keep_sorted_indices=True)
         y = M.merge(x, plan)
         restored = M.unmerge(y, plan)
 
@@ -67,7 +75,8 @@ class TestLocalMatching:
         B, F, tnum, C = 1, 2, 32, 16
         x = _rand_tokens(jax.random.key(3), B, F * tnum, C)
         plan = M.local_matching(x, F=F, ratio=0.5, unm_pre=0,
-                                key=jax.random.key(4), target_stride=2)
+                                key=jax.random.key(4), target_stride=2,
+                                keep_sorted_indices=True)
         xn = np.asarray(x)
         norm = xn / np.linalg.norm(xn, axis=-1, keepdims=True)
         a, b = np.asarray(plan.a_idx)[0], np.asarray(plan.b_idx)[0]
@@ -85,7 +94,8 @@ class TestLocalMatching:
         B, F, tnum, C = 3, 4, 8, 8
         x = _rand_tokens(jax.random.key(5), B, F * tnum, C)
         plan = M.local_matching(x, F=F, ratio=0.75, unm_pre=0,
-                                key=jax.random.key(6), align_batch=True)
+                                key=jax.random.key(6), align_batch=True,
+                                keep_sorted_indices=True)
         for field in (plan.src_idx, plan.dst_idx, plan.unm_idx):
             fn = np.asarray(field)
             for bi in range(1, B):
@@ -109,7 +119,8 @@ class TestLocalMatching:
         B, F, tnum, C = 1, 2, 4, 4
         x = _rand_tokens(jax.random.key(9), B, F * tnum, C)
         plan = M.local_matching(x, F=F, ratio=1.0, unm_pre=0,
-                                key=jax.random.key(10), target_stride=2)
+                                key=jax.random.key(10), target_stride=2,
+                                keep_sorted_indices=True)
         y = np.asarray(M.merge(x, plan, mode="mean"))
         xn = np.asarray(x)
         a, b = np.asarray(plan.a_idx)[0], np.asarray(plan.b_idx)[0]
@@ -119,6 +130,45 @@ class TestLocalMatching:
             vals = [xn[0, b[j]]] + [xn[0, a[s]] for s, d in zip(src, dst) if d == j]
             np.testing.assert_allclose(y[0, U + j], np.mean(vals, axis=0),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestFastPathEquivalence:
+    def test_fast_and_sorted_paths_agree_after_unmerge(self):
+        """The fast (top_k) path orders the unmerged section differently
+        from the argsort path, but selects the same token sets — so
+        unmerge(merge(x)) must be identical."""
+        B, F, tnum, C = 2, 4, 16, 8
+        x = _rand_tokens(jax.random.key(30), B, F * tnum, C)
+        fast = M.local_matching(x, F=F, ratio=0.6, unm_pre=0,
+                                key=jax.random.key(31))
+        slow = M.local_matching(x, F=F, ratio=0.6, unm_pre=0,
+                                key=jax.random.key(31),
+                                keep_sorted_indices=True)
+        # same unmerged token set
+        for bi in range(B):
+            assert (set(np.asarray(fast.unm_idx)[bi].tolist())
+                    == set(np.asarray(slow.unm_idx)[bi].tolist()))
+        out_fast = M.unmerge(M.merge(x, fast), fast)
+        out_slow = M.unmerge(M.merge(x, slow), slow)
+        np.testing.assert_allclose(np.asarray(out_fast),
+                                   np.asarray(out_slow), rtol=1e-6, atol=1e-6)
+
+    def test_fused_matching_kernel_matches_reference(self):
+        from vidtome_tpu.ops.matching import (best_match,
+                                              best_match_reference)
+
+        src = jax.random.normal(jax.random.key(32), (2, 300, 64),
+                                jnp.bfloat16)
+        dst = jax.random.normal(jax.random.key(33), (2, 200, 64),
+                                jnp.bfloat16)
+        mx_ref, ix_ref = best_match_reference(src, dst)
+        mx, ix = best_match(src, dst, block_s=128, block_d=128,
+                            interpret=True)
+        np.testing.assert_allclose(np.asarray(mx), np.asarray(mx_ref),
+                                   rtol=2e-2, atol=2e-2)
+        # argmax may differ on near-ties; indices must agree almost always
+        agree = (np.asarray(ix) == np.asarray(ix_ref)).mean()
+        assert agree > 0.98
 
 
 class TestRecursiveLocalMerge:

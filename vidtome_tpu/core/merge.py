@@ -42,8 +42,12 @@ class MergePlan(NamedTuple):
       unmerge_gather: [B, N] — ``restored[n] = merged[unmerge_gather[n]]``;
                       merged src tokens read back their matched dst token.
       a_idx, b_idx:   [B, S] / [B, D] src / dst token positions in x.
-      src_idx:        [B, r] positions *within a_idx order* of merged tokens.
-      dst_idx:        [B, r] matched dst (position within b_idx order).
+      src_idx:        [B, r] positions *within a_idx order* of merged tokens
+                      (None on the fast path — only materialized when
+                      ``keep_sorted_indices`` is requested; needed for mean
+                      mode and introspection, not for replace merging).
+      dst_idx:        [B, r] matched dst (position within b_idx order), or
+                      None as above.
       unm_idx:        [B, U] positions within a_idx order of kept tokens.
     """
 
@@ -51,8 +55,8 @@ class MergePlan(NamedTuple):
     unmerge_gather: jnp.ndarray
     a_idx: jnp.ndarray
     b_idx: jnp.ndarray
-    src_idx: jnp.ndarray
-    dst_idx: jnp.ndarray
+    src_idx: jnp.ndarray | None
+    dst_idx: jnp.ndarray | None
     unm_idx: jnp.ndarray
 
     @property
@@ -73,15 +77,35 @@ def _take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 
+def _best_match(src_m, dst_m, use_fused: bool | None):
+    from vidtome_tpu.ops import matching
+
+    # Default: XLA path — measured on v5e, XLA fuses the max/argmax
+    # reduction into the score matmul and beats the hand-written Pallas
+    # kernel (1.55ms vs 2.33ms at [2,12288,320]x[2,4096,320]); the kernel
+    # remains available for shapes where XLA's fusion fails.
+    if use_fused:
+        return matching.best_match(src_m, dst_m)
+    return matching.best_match_reference(src_m, dst_m)
+
+
 def _build_plan(
     metric: jnp.ndarray,
     a_idx: jnp.ndarray,
     b_idx: jnp.ndarray,
     r: int,
     align_batch: bool,
+    keep_sorted_indices: bool = False,
+    use_fused: bool | None = None,
 ) -> MergePlan:
     """Shared matching core: cosine-sim src->dst, greedy top-r by best-match
     score (reference: merge.py:83-117), then bake gather maps.
+
+    The hot path never materializes the [S, D] score matrix (fused Pallas
+    matmul+argmax on TPU) nor a full argsort: replace-mode merging only
+    needs the bottom-(S-r) "unmerged" set (top_k) and every src token's best
+    dst (argmax).  ``keep_sorted_indices=True`` additionally materializes
+    the score-ordered src/dst index lists (mean mode, tests).
 
     ``a_idx``/``b_idx``: [B, S] / [B, D] token positions (already batched).
     """
@@ -96,27 +120,33 @@ def _build_plan(
     )
     src_m = _take(mnorm, a_idx).astype(jnp.bfloat16)
     dst_m = _take(mnorm, b_idx).astype(jnp.bfloat16)
-    scores = jnp.einsum("bsc,bdc->bsd", src_m, dst_m,
-                        preferred_element_type=jnp.float32)
+    node_max, node_idx = _best_match(src_m, dst_m, use_fused)  # [B, S] each
 
     if align_batch:
         # One matching shared by every batch lane (needed for PnP: the
         # source / uncond / cond lanes must merge coherently,
-        # reference: merge.py:93-108). Greedy over all lanes' scores.
-        flat = jnp.transpose(scores, (1, 0, 2)).reshape(S, B * D)
-        node_max = jnp.max(flat, axis=-1)
-        node_idx = jnp.argmax(flat, axis=-1).astype(jnp.int32) % D
-        order = jnp.argsort(-node_max).astype(jnp.int32)
-        src_idx = jnp.broadcast_to(order[:r], (B, r))
-        unm_idx = jnp.broadcast_to(order[r:], (B, U))
-        dst_idx = jnp.broadcast_to(node_idx[order[:r]], (B, r))
-    else:
-        node_max = jnp.max(scores, axis=-1)
-        node_idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        # reference: merge.py:93-108): greedy over all lanes' scores =
+        # take each src token's best lane.
+        lane = jnp.argmax(node_max, axis=0)  # [S]
+        node_max = jnp.max(node_max, axis=0, keepdims=True)  # [1, S]
+        node_idx = jnp.take_along_axis(node_idx, lane[None], axis=0)  # [1, S]
+
+    src_idx = dst_idx = None
+    if keep_sorted_indices:
         order = jnp.argsort(-node_max, axis=-1).astype(jnp.int32)
         src_idx = order[:, :r]
         unm_idx = order[:, r:]
         dst_idx = jnp.take_along_axis(node_idx, src_idx, axis=1)
+    else:
+        _, unm_idx = jax.lax.top_k(-node_max, U)
+        unm_idx = unm_idx.astype(jnp.int32)
+
+    if align_batch:
+        unm_idx = jnp.broadcast_to(unm_idx, (B, U))
+        node_idx = jnp.broadcast_to(node_idx, (B, S))
+        if keep_sorted_indices:
+            src_idx = jnp.broadcast_to(src_idx, (B, r))
+            dst_idx = jnp.broadcast_to(dst_idx, (B, r))
 
     # merged = [ src[unm_idx] | dst ]  — a single gather from x.
     merge_gather = jnp.concatenate(
@@ -124,17 +154,15 @@ def _build_plan(
     )
 
     # Inverse map: every original position reads one merged position.
-    #   b_idx[j]            <- U + j
-    #   a_idx[unm_idx[i]]   <- i
-    #   a_idx[src_idx[k]]   <- U + dst_idx[k]
+    #   b_idx[j]          <- U + j
+    #   a_idx[k]          <- U + node_idx[k]   (all src: their best dst)
+    #   a_idx[unm_idx[i]] <- i                 (overwrites the kept subset)
     barange = jnp.arange(B, dtype=jnp.int32)[:, None]
     inv = jnp.zeros((B, N), dtype=jnp.int32)
     inv = inv.at[barange, b_idx].set(U + jnp.arange(D, dtype=jnp.int32)[None, :])
+    inv = inv.at[barange, a_idx].set(U + node_idx)
     inv = inv.at[barange, jnp.take_along_axis(a_idx, unm_idx, axis=1)].set(
         jnp.arange(U, dtype=jnp.int32)[None, :]
-    )
-    inv = inv.at[barange, jnp.take_along_axis(a_idx, src_idx, axis=1)].set(
-        U + dst_idx
     )
 
     return MergePlan(
@@ -158,6 +186,9 @@ def merge(x: jnp.ndarray, plan: MergePlan, mode: str = "replace") -> jnp.ndarray
     if mode == "replace":
         return out
     if mode == "mean":
+        assert plan.src_idx is not None, (
+            "mean-mode merging needs sorted indices: build the plan with "
+            "keep_sorted_indices=True")
         B = x.shape[0]
         U = plan.unm_num
         barange = jnp.arange(B, dtype=jnp.int32)[:, None]
@@ -204,6 +235,8 @@ def local_matching(
     key: jax.Array,
     target_stride: int = 4,
     align_batch: bool = False,
+    keep_sorted_indices: bool = False,
+    use_fused: bool | None = None,
 ) -> MergePlan | None:
     """One round of random-dst-frame bipartite matching over joined frames.
 
@@ -240,6 +273,8 @@ def local_matching(
         jnp.broadcast_to(b_idx, (B, b_idx.shape[0])),
         r,
         align_batch,
+        keep_sorted_indices=keep_sorted_indices,
+        use_fused=use_fused,
     )
 
 
@@ -268,11 +303,13 @@ def compute_local_merge(
     :func:`unmerge_all`."""
     plans: list[MergePlan] = []
     unm = 0
+    keep_sorted = mode != "replace"
     for curF in local_merge_rounds(F, target_stride):
         key, sub = jax.random.split(key)
         plan = local_matching(
             tokens, curF, ratio, unm, sub,
             target_stride=target_stride, align_batch=align_batch,
+            keep_sorted_indices=keep_sorted,
         )
         if plan is None:
             break
@@ -298,6 +335,8 @@ def two_set_matching(
     src_len: int,
     ratio: float,
     align_batch: bool = False,
+    keep_sorted_indices: bool = False,
+    use_fused: bool | None = None,
 ) -> MergePlan | None:
     """Match the first ``src_len`` tokens (src) against the rest (dst).
 
@@ -313,7 +352,9 @@ def two_set_matching(
     r = min(S, int(S * ratio))
     a_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     b_idx = jnp.broadcast_to(S + jnp.arange(D, dtype=jnp.int32), (B, D))
-    return _build_plan(metric, a_idx, b_idx, r, align_batch)
+    return _build_plan(metric, a_idx, b_idx, r, align_batch,
+                       keep_sorted_indices=keep_sorted_indices,
+                       use_fused=use_fused)
 
 
 def partition(x_full: jnp.ndarray, src_len: int, chunk: jnp.ndarray | int) -> jnp.ndarray:

@@ -271,6 +271,7 @@ class TransformerBlock(nn.Module):
                     global_plan = merge_ops.two_set_matching(
                         tokens_cat, src_len=L, ratio=cfg.global_merge_ratio,
                         align_batch=cfg.align_batch,
+                        keep_sorted_indices=cfg.merge_mode != "replace",
                     )
                     tokens = merge_ops.merge(tokens_cat, global_plan,
                                              cfg.merge_mode)

@@ -113,8 +113,8 @@ def flash_attention(
     v: jnp.ndarray,
     kv_valid_len: int | None = None,
     sm_scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention. q: [B, H, Sq, D]; k, v: [B, H, Skv, D] -> [B, H, Sq, D].
