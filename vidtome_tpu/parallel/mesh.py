@@ -71,15 +71,16 @@ _TP_RULES: list[tuple[str, P]] = [
     (r"attn\d/to_out/kernel$", P("model", None)),
     (r"ff/proj_in/kernel$", P(None, "model")),
     (r"ff/proj_out/kernel$", P("model", None)),
-    (r"time_embedding/linear_1/kernel$", P(None, "model")),
-    (r"time_embedding/linear_2/kernel$", P("model", None)),
+    # NOTE: the timestep-embedding MLP is deliberately NOT sharded: it is
+    # negligible compute ([B, 4*ch] activations), and sharding it alongside
+    # the FF rules provokes a GSPMD propagation interaction that corrupts
+    # results (reproduced on the 8-device CPU mesh; see tests/test_parallel).
 ]
 
 # Bias rules: biases of column-parallel layers are sharded on their only dim.
 _TP_BIAS_RULES: list[tuple[str, P]] = [
     (r"attn\d/to_(q|k|v)/bias$", P("model")),
     (r"ff/proj_in/bias$", P("model")),
-    (r"time_embedding/linear_1/bias$", P("model")),
 ]
 
 
