@@ -37,14 +37,8 @@ def make_tiny_bundle(dtype=None):
         unet_params=unet_params, vae_params=vae_params,
         text_params=text_params,
         tokenizer=HashTokenizer(vocab_size=1000, max_length=16),
-        dtype=dtype, random_weights=True)
-
-    # tiny VAE has different channels than the default factory — override
-    def make_vae():
-        return AutoencoderKL(block_out_channels=(8, 8, 8, 8),
-                             layers_per_block=1, dtype=dtype)
-
-    bundle.make_vae = make_vae
+        dtype=dtype, random_weights=True,
+        vae_channels=((8, 8, 8, 8), 1))
     return bundle
 
 

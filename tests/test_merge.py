@@ -260,6 +260,39 @@ class TestGlobalMatching:
                                       np.asarray(x)[:, L:])
 
 
+class TestSpatial2D:
+    def test_one_dst_per_window(self):
+        h = w = 8
+        x = _rand_tokens(jax.random.key(40), 1, h * w, 16)
+        plan = M.spatial_matching_2d(x, w=w, h=h, sx=2, sy=2, r=20,
+                                     key=jax.random.key(41))
+        b = np.asarray(plan.b_idx)[0]
+        assert len(b) == 16  # (8/2)*(8/2) windows
+        # exactly one dst inside every 2x2 window
+        for wy in range(4):
+            for wx in range(4):
+                cnt = 0
+                for dy in range(2):
+                    for dx in range(2):
+                        tok = (wy * 2 + dy) * w + (wx * 2 + dx)
+                        cnt += tok in b
+                assert cnt == 1
+        # roundtrip keeps dst tokens exact
+        y = M.merge(x, plan)
+        assert y.shape[1] == (h * w - 16 - 20) + 16
+        restored = M.unmerge(y, plan)
+        np.testing.assert_array_equal(np.asarray(restored)[0, b],
+                                      np.asarray(x)[0, b])
+
+    def test_no_rand_uses_window_corner(self):
+        h = w = 4
+        x = _rand_tokens(jax.random.key(42), 1, h * w, 8)
+        plan = M.spatial_matching_2d(x, w=w, h=h, sx=2, sy=2, r=4,
+                                     no_rand=True)
+        np.testing.assert_array_equal(
+            sorted(np.asarray(plan.b_idx)[0].tolist()), [0, 2, 8, 10])
+
+
 class TestFrameOps:
     def test_join_split_inverse(self):
         x = _rand_tokens(jax.random.key(20), 6, 16, 4)  # B*F = 6 with F=3

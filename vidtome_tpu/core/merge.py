@@ -371,6 +371,65 @@ def partition(x_full: jnp.ndarray, src_len: int, chunk: jnp.ndarray | int) -> jn
 
 
 # ---------------------------------------------------------------------------
+# Original ToMeSD spatial matching — reference merge.py:467-579
+# (bipartite_soft_matching_random2d; kept in the reference for image-mode
+# token merging, unused by the video pipeline).
+# ---------------------------------------------------------------------------
+
+
+def spatial_matching_2d(
+    metric: jnp.ndarray,
+    w: int,
+    h: int,
+    sx: int,
+    sy: int,
+    r: int,
+    key: jax.Array | None = None,
+    no_rand: bool = False,
+    keep_sorted_indices: bool = False,
+) -> MergePlan | None:
+    """Single-image ToMeSD matching: one random dst token per (sy, sx)
+    spatial window, the rest src; merge the top-r most-similar src tokens.
+
+    ``metric``: [B, h*w, C] tokens in row-major spatial order.  Requires
+    sy | h and sx | w (the reference pads the ragged edge; we keep the
+    static-friendly exact-division case, which all SD resolutions satisfy).
+    """
+    B, N, _ = metric.shape
+    assert N == h * w and h % sy == 0 and w % sx == 0
+    if r <= 0:
+        return None
+    hsy, wsx = h // sy, w // sx
+    num_dst = hsy * wsx
+
+    if no_rand or key is None:
+        rand = jnp.zeros((hsy, wsx), jnp.int32)
+    else:
+        rand = jax.random.randint(key, (hsy, wsx), 0, sy * sx)
+
+    # dst position inside each window -> absolute token index
+    wy, wx = jnp.meshgrid(jnp.arange(hsy), jnp.arange(wsx), indexing="ij")
+    iy = wy * sy + rand // sx
+    ix = wx * sx + rand % sx
+    b_idx = (iy * w + ix).reshape(-1).astype(jnp.int32)  # [num_dst]
+
+    # src = everything else, via stable sort of the dst mask
+    is_dst = jnp.zeros((N,), jnp.int32).at[b_idx].set(1)
+    order = jnp.argsort(is_dst, stable=True).astype(jnp.int32)
+    a_idx = order[: N - num_dst]
+
+    r = min(r, N - num_dst)
+    return _build_plan(
+        metric,
+        jnp.broadcast_to(a_idx, (B, N - num_dst)),
+        jnp.broadcast_to(b_idx, (B, num_dst)),
+        r,
+        align_batch=False,
+        keep_sorted_indices=keep_sorted_indices,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Frame join/split (reference vidtome/utils.py:32-41).
 # ---------------------------------------------------------------------------
 

@@ -282,6 +282,17 @@ class TransformerBlock(nn.Module):
                         local_is_src, full[:, :L], full[:, L:])
                     bank.value = jax.lax.stop_gradient(local_part)
 
+            if cfg.collect_stats:
+                # Observability: per-block token compression + how much of
+                # the sequence the attention actually sees (generalizes the
+                # reference's collect_from_patch attribute scraper).
+                self.sow("tome_stats", "seq_len",
+                         jnp.asarray(norm_x.shape[0] * norm_x.shape[1]),
+                         reduce_fn=lambda _, x: x)
+                self.sow("tome_stats", "merged_len",
+                         jnp.asarray(tokens.shape[0] * tokens.shape[1]),
+                         reduce_fn=lambda _, x: x)
+
             attn_out = CrossAttention(
                 query_dim=self.dim, heads=self.heads, head_dim=self.head_dim,
                 dtype=self.dtype, use_pallas=self.use_pallas, name="attn1",

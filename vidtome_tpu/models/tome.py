@@ -29,6 +29,10 @@ class ToMeConfig:
     target_stride: int = 4
     align_batch: bool = False
     merge_mode: str = "replace"
+    collect_stats: bool = False      # sow per-block merge stats into the
+                                     # 'tome_stats' collection (observability;
+                                     # generalizes the reference's
+                                     # collect_from_patch, patch.py:373-387)
 
     def merged_local_len(self, tokens_per_frame: int) -> int:
         """Static length of the locally-merged sequence for one chunk."""

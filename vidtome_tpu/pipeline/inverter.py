@@ -79,7 +79,8 @@ class Inverter:
         self._tables = dict(t_up=t_up, t_down=t_down, inv_a=inv_a,
                             smp_a=smp_a)
 
-        @jax.jit
+        shard_fn = self.shard_fn
+
         def eps_fn(params, x, tables, step_i, inversion, context, depth,
                    control_images):
             """x: [b, h, w, 4] latents for a frame batch."""
@@ -96,58 +97,77 @@ class Inverter:
             return unet.apply({"params": params["unet"]}, x, t, context,
                               **kwargs)
 
-        @jax.jit
-        def inv_step(x, eps, tables, step_i):
-            a = tables["inv_a"][step_i]
-            # fp32 update, back to the latent dtype (avoids f32 retraces)
-            return ddim_inverse_step(x, eps, a[0], a[1]).astype(x.dtype)
+        bs = self.batch_size
 
-        @jax.jit
-        def sample_step(x, eps, tables, step_i):
-            a = tables["smp_a"][step_i]
-            return ddim_step(x, eps, a[0], a[1]).astype(x.dtype)
+        @functools.partial(jax.jit, static_argnames=("inversion",))
+        def full_step(params, x, tables, step_i, inversion, conds, depth,
+                      control):
+            """One DDIM timestep over ALL frames: lax.scan over fixed-size
+            frame micro-batches (one dispatch per timestep; per-frame work
+            is independent, reference invert.py:122-131)."""
+            n = x.shape[0]
+            nb = n // bs
 
-        self._eps = eps_fn
-        self._inv_step = inv_step
-        self._sample_step = sample_step
+            def body(_, inputs):
+                xb, cb, db, ctb = inputs
+                eps = eps_fn(params, shard_fn(xb), tables, step_i,
+                             jnp.asarray(inversion), shard_fn(cb), db, ctb)
+                return None, eps
+
+            def batched(a, dummy_shape=None):
+                if a is None or a.ndim == 0:
+                    return jnp.zeros((nb, bs, 1), x.dtype)
+                return a.reshape(nb, bs, *a.shape[1:])
+
+            _, eps_all = jax.lax.scan(
+                body, None,
+                (batched(x), batched(conds), batched(depth),
+                 batched(control)))
+            eps = eps_all.reshape(n, *eps_all.shape[2:])
+            a = tables["inv_a"][step_i] if inversion else \
+                tables["smp_a"][step_i]
+            fn = ddim_inverse_step if inversion else ddim_step
+            return fn(x, eps, a[0], a[1]).astype(x.dtype)
+
+        self._eps = jax.jit(eps_fn)
+        self._full_step = full_step
 
     # ------------------------------------------------------------------
 
-    def _batched_eps(self, x, step_i, inversion, conds, depth, control):
-        outs = []
-        n = x.shape[0]
-        bs = self.batch_size
-        pad = (-n) % bs
-        if pad:
-            def padded(a):
-                return (jnp.concatenate([a, jnp.repeat(a[-1:], pad, 0)])
-                        if a is not None else None)
-            x_p, conds_p = padded(x), padded(conds)
-            depth_p, control_p = padded(depth), padded(control)
-        else:
-            x_p, conds_p, depth_p, control_p = x, conds, depth, control
-        for i in range(0, x_p.shape[0], bs):
-            sl = slice(i, i + bs)
-            outs.append(self._eps(
-                self._params, self.shard_fn(x_p[sl]), self._tables, step_i,
-                inversion, self.shard_fn(conds_p[sl]),
-                depth_p[sl] if depth_p is not None else jnp.zeros(()),
-                control_p[sl] if control_p is not None else jnp.zeros(())))
-        return jnp.concatenate(outs)[:n]
+    def _pad_frames(self, a, n_target):
+        if a is None:
+            return None
+        pad = n_target - a.shape[0]
+        if pad <= 0:
+            return a
+        return jnp.concatenate([a, jnp.repeat(a[-1:], pad, 0)])
+
+    def _run(self, latents, conds, depth, control, inversion, on_step=None):
+        n = latents.shape[0]
+        n_p = -(-n // self.batch_size) * self.batch_size
+        x = self._pad_frames(jnp.asarray(latents), n_p)
+        conds_p = self._pad_frames(conds, n_p)
+        depth_p = self._pad_frames(depth, n_p)
+        control_p = self._pad_frames(control, n_p)
+        for i in range(self.scheduler.num_steps):
+            x = self._full_step(self._params, x, self._tables,
+                                jnp.asarray(i, jnp.int32), inversion,
+                                conds_p, depth_p, control_p)
+            if on_step is not None:
+                on_step(i, x[:n])
+        return x[:n]
 
     def ddim_inversion(self, latents, conds, depth, control, save_dir):
         print("[INFO] start DDIM Inversion!")
-        sch = self.scheduler
-        ts_up = sch.timesteps[::-1]
-        x = latents
-        inv = jnp.asarray(True)
-        for i in range(sch.num_steps):
-            step_i = jnp.asarray(i, jnp.int32)
-            eps = self._batched_eps(x, step_i, inv, conds, depth, control)
-            x = self._inv_step(x, eps, self._tables, step_i)
+        ts_up = self.scheduler.timesteps[::-1]
+
+        def save_hook(i, x):
             t = int(ts_up[i])
             if self.save_intermediate and t in self.timesteps_to_save:
                 artifacts.save_latent(save_dir, t, np.asarray(x, np.float32))
+
+        x = self._run(latents, conds, depth, control, inversion=True,
+                      on_step=save_hook)
         path = artifacts.save_latent(save_dir, int(ts_up[-1]),
                                      np.asarray(x, np.float32))
         print(f"[INFO] inverted latent saved to: {path}")
@@ -155,14 +175,7 @@ class Inverter:
 
     def ddim_sample(self, latents, conds, depth, control):
         print("[INFO] reconstructing frames...")
-        sch = self.scheduler
-        x = latents
-        inv = jnp.asarray(False)
-        for i in range(sch.num_steps):
-            step_i = jnp.asarray(i, jnp.int32)
-            eps = self._batched_eps(x, step_i, inv, conds, depth, control)
-            x = self._sample_step(x, eps, self._tables, step_i)
-        return x
+        return self._run(latents, conds, depth, control, inversion=False)
 
     def check_latent_exists(self, save_dir) -> bool:
         ts = [int(self.scheduler.timesteps[0])]
