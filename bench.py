@@ -36,9 +36,15 @@ def main():
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--quick", action="store_true",
                         help="5 steps / 8 frames smoke run")
+    parser.add_argument("--sdxl", action="store_true",
+                        help="SDXL-1024p merged-UNet stress benchmark "
+                             "(BASELINE stress config) instead of the edit "
+                             "pipeline")
     args = parser.parse_args()
     if args.quick:
         args.frames, args.steps = 8, 5
+    if args.sdxl:
+        return bench_sdxl(args)
 
     import jax
     import jax.numpy as jnp
@@ -106,6 +112,68 @@ def main():
     }
     print(f"[bench] {args.frames} frames x {args.steps} steps in "
           f"{elapsed:.2f}s (checksum {checksum:.2f})", file=sys.stderr)
+    print(json.dumps(result))
+
+
+def bench_sdxl(args):
+    """SDXL merged-UNet chunk throughput at 1024p (stress config: 128x128
+    latents, 32+ frame clip, high merge ratio)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidtome_tpu.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from vidtome_tpu.models.registry import _jit_init
+    from vidtome_tpu.models.tome import ToMeCall, ToMeConfig
+    from vidtome_tpu.models.unet import SDXL_UNET, UNet2DConditionModel
+
+    tome = ToMeConfig(frames=4, local_merge_ratio=0.9, merge_global=False,
+                      max_downsample=2)
+    unet = UNet2DConditionModel(config=SDXL_UNET, tome=tome,
+                                dtype=jnp.bfloat16)
+    lat = 128  # 1024p latents
+    t0 = time.time()
+    x0 = jnp.zeros((1, 8, 8, 4), jnp.bfloat16)
+    ctx0 = jnp.zeros((1, 8, 2048), jnp.bfloat16)
+    params = _jit_init(unet, x0, jnp.asarray(0), ctx0)
+    print(f"[bench] SDXL params ready in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    B = 8  # 2 CFG lanes x 4 frames
+    x = jax.random.normal(jax.random.key(0), (B, lat, lat, 4), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.key(1), (B, 77, 2048), jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.key(2), (B, 1280), jnp.bfloat16)
+    tids = jnp.tile(jnp.asarray([[1024., 1024., 0., 0., 1024., 1024.]]),
+                    (B, 1))
+
+    @jax.jit
+    def fwd(params, x, ctx, key):
+        return unet.apply(
+            {"params": params}, x, jnp.asarray(500), ctx,
+            tome_call=ToMeCall(key=key, bank_mode="off"), num_lanes=2,
+            add_text_embeds=pooled, add_time_ids=tids)
+
+    t0 = time.time()
+    out = fwd(params, x, ctx, jax.random.key(3))
+    _ = float(jnp.sum(out))
+    print(f"[bench] SDXL compile in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    n = 10
+    t0 = time.time()
+    for i in range(n):
+        out = fwd(params, x, ctx, jax.random.fold_in(jax.random.key(4), i))
+    _ = float(jnp.sum(out))
+    ms = (time.time() - t0) / n * 1e3
+    fps = 4.0 / ((ms / 1e3) * args.steps)  # 4 frames per chunk call
+    result = {
+        "metric": "sdxl_1024p_merged_unet_frames_per_sec_50step",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": None,
+    }
+    print(f"[bench] SDXL chunk fwd {ms:.1f} ms", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -128,6 +128,38 @@ class TestUNet:
         assert np.abs(np.asarray(out - base)).max() > 1e-5
 
 
+class TestSDXLUNet:
+    def test_forward_with_addition_embeds_and_merging(self):
+        from vidtome_tpu.models.unet import TINY_SDXL_UNET
+
+        tome = ToMeConfig(frames=4, local_merge_ratio=0.9)
+        model = UNet2DConditionModel(config=TINY_SDXL_UNET, tome=tome,
+                                     dtype=jnp.float32, use_pallas=False)
+        x = jax.random.normal(jax.random.key(0), (8, 16, 16, 4))
+        ctx = jax.random.normal(jax.random.key(1), (8, 8, 32))
+        pooled = jax.random.normal(jax.random.key(2), (8, 16))
+        time_ids = jnp.tile(jnp.asarray([[512., 512., 0., 0., 512., 512.]]),
+                            (8, 1))
+        call = ToMeCall(key=jax.random.key(3), bank_mode="off")
+        params = model.init(jax.random.key(4), x, jnp.asarray(0), ctx,
+                            tome_call=call, num_lanes=2,
+                            add_text_embeds=pooled, add_time_ids=time_ids)
+        out = model.apply(params, x, jnp.asarray(10), ctx, tome_call=call,
+                          num_lanes=2, add_text_embeds=pooled,
+                          add_time_ids=time_ids)
+        assert out.shape == (8, 16, 16, 4)
+        assert np.isfinite(np.asarray(out)).all()
+        # micro-conditioning must influence the output
+        out2 = model.apply(params, x, jnp.asarray(10), ctx, tome_call=call,
+                           num_lanes=2, add_text_embeds=pooled * 2,
+                           add_time_ids=time_ids)
+        assert np.abs(np.asarray(out - out2)).max() > 1e-5
+        # per-level transformer depth: level 1 has depth 2
+        p = params["params"]
+        assert "transformer_blocks_1" in p["down_1_attentions_0"]
+        assert "down_0_attentions_0" not in p  # level 0 has no attention
+
+
 class TestVAE:
     def test_encode_decode_shapes(self):
         vae = AutoencoderKL(block_out_channels=(16, 32), layers_per_block=1,

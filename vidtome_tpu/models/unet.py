@@ -37,8 +37,8 @@ class UNetConfig:
     layers_per_block: int = 2
     cross_attention_dim: int = 768
     num_heads: Optional[int] = 8        # SD1.x: fixed head count per level
-    head_dim: Optional[int] = None      # SD2.x: fixed head dim (64)
-    transformer_depth: int = 1
+    head_dim: Optional[int] = None      # SD2.x/XL: fixed head dim (64)
+    transformer_depth: int | Sequence[int] = 1  # per-level when a sequence
     use_linear_projection: bool = False
     down_block_types: Sequence[str] = (
         "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
@@ -46,11 +46,22 @@ class UNetConfig:
     up_block_types: Sequence[str] = (
         "UpBlock2D", "CrossAttnUpBlock2D",
         "CrossAttnUpBlock2D", "CrossAttnUpBlock2D")
+    # SDXL addition embeddings: pooled text embed + micro-conditioning
+    # time_ids, projected and added to the timestep embedding.
+    addition_embed: bool = False
+    addition_time_embed_dim: int = 256
+    addition_pooled_dim: int = 1280     # pooled text-encoder-2 width
+    addition_num_time_ids: int = 6
 
     def heads_for(self, channels: int) -> tuple[int, int]:
         if self.head_dim is not None:
             return channels // self.head_dim, self.head_dim
         return self.num_heads, channels // self.num_heads
+
+    def depth_for(self, level: int) -> int:
+        if isinstance(self.transformer_depth, int):
+            return self.transformer_depth
+        return self.transformer_depth[level]
 
 
 SD15_UNET = UNetConfig()
@@ -58,11 +69,32 @@ SD21_UNET = UNetConfig(cross_attention_dim=1024, num_heads=None, head_dim=64,
                        use_linear_projection=True)
 SD2_DEPTH_UNET = dataclasses.replace(SD21_UNET, in_channels=5)
 
+SDXL_UNET = UNetConfig(
+    block_out_channels=(320, 640, 1280),
+    cross_attention_dim=2048,
+    num_heads=None, head_dim=64,
+    transformer_depth=(0, 2, 10),
+    use_linear_projection=True,
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                      "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+                    "UpBlock2D"),
+    addition_embed=True,
+)
+
 TINY_UNET = UNetConfig(
     block_out_channels=(32, 64), layers_per_block=1, cross_attention_dim=32,
     num_heads=2,
     down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
     up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"))
+
+TINY_SDXL_UNET = UNetConfig(
+    block_out_channels=(32, 64), layers_per_block=1, cross_attention_dim=32,
+    num_heads=2, transformer_depth=(0, 2), use_linear_projection=True,
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+    addition_embed=True, addition_time_embed_dim=8, addition_pooled_dim=16,
+    addition_num_time_ids=6)
 
 
 class UNet2DConditionModel(nn.Module):
@@ -76,7 +108,7 @@ class UNet2DConditionModel(nn.Module):
         return Transformer2D(
             channels=channels, heads=heads, head_dim=head_dim,
             context_dim=self.config.cross_attention_dim,
-            depth=self.config.transformer_depth,
+            depth=self.config.depth_for(level),
             downsample=2 ** level,
             use_linear_projection=self.config.use_linear_projection,
             tome=self.tome, dtype=self.dtype, use_pallas=self.use_pallas,
@@ -94,6 +126,8 @@ class UNet2DConditionModel(nn.Module):
         num_lanes: int = 1,
         down_residuals: Optional[Sequence[jnp.ndarray]] = None,  # ControlNet
         mid_residual: Optional[jnp.ndarray] = None,              # ControlNet
+        add_text_embeds: Optional[jnp.ndarray] = None,   # SDXL pooled embed
+        add_time_ids: Optional[jnp.ndarray] = None,      # SDXL size/crop ids
     ) -> jnp.ndarray:
         cfg = self.config
         B = x.shape[0]
@@ -102,6 +136,24 @@ class UNet2DConditionModel(nn.Module):
         temb = TimestepEmbedding(ch0 * 4, dtype=self.dtype,
                                  name="time_embedding")(temb.astype(self.dtype))
         temb = jnp.broadcast_to(temb, (B, temb.shape[-1]))
+
+        if cfg.addition_embed:
+            # SDXL micro-conditioning: pooled text embed + per-sample
+            # time_ids (orig/crop/target sizes), sinusoidally embedded and
+            # projected onto the timestep embedding.
+            if add_time_ids is None:
+                add_time_ids = jnp.zeros((B, cfg.addition_num_time_ids),
+                                         jnp.float32)
+            if add_text_embeds is None:
+                add_text_embeds = jnp.zeros((B, cfg.addition_pooled_dim),
+                                            self.dtype)
+            ids_emb = timestep_embedding(add_time_ids.reshape(-1),
+                                         cfg.addition_time_embed_dim)
+            ids_emb = ids_emb.reshape(B, -1).astype(self.dtype)
+            aug = jnp.concatenate(
+                [add_text_embeds.astype(self.dtype), ids_emb], axis=-1)
+            temb = temb + TimestepEmbedding(ch0 * 4, dtype=self.dtype,
+                                            name="add_embedding")(aug)
 
         h = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         skips = [h]
