@@ -25,12 +25,18 @@ def main(argv=None):
     config["model_key"] = bundle.model_key
     seed_everything(int(config.get("seed", 123)))
 
+    from vidtome_tpu.parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(config.get("tpu", None))
+    if mesh is not None:
+        print(f"[INFO] device mesh: {dict(mesh.shape)}")
+
     print("Start inversion!")
-    inverter = Inverter(bundle, config)
+    inverter = Inverter(bundle, config, mesh=mesh)
     inverter(config.input_path, config.inversion.save_path)
 
     print("Start generation!")
-    generator = Generator(bundle, config)
+    generator = Generator(bundle, config, mesh=mesh)
     frame_ids = get_frame_ids(config.generation.get("frame_range", None),
                               config.generation.get("frame_ids", None))
     generator(config.input_path, config.generation.latents_path,

@@ -39,9 +39,11 @@ from vidtome_tpu.control.preprocess import control_preprocess
 
 
 class Generator:
-    def __init__(self, bundle: ModelBundle, config, use_pallas=None):
+    def __init__(self, bundle: ModelBundle, config, use_pallas=None,
+                 mesh=None):
         self.bundle = bundle
         self.config = config
+        self.mesh = mesh
         gene = config.generation
         self.gene = gene
 
@@ -100,6 +102,16 @@ class Generator:
         self._params = {"unet": self.unet_params}
         if self.use_controlnet:
             self._params["controlnet"] = bundle.controlnet_params
+        self._lane_constraint = lambda x: x
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vidtome_tpu.parallel import mesh as pmesh
+
+            self._params = pmesh.shard_params(mesh, self._params)
+            spec = NamedSharding(mesh, P("data"))
+            self._lane_constraint = (
+                lambda x: jax.lax.with_sharding_constraint(x, spec))
 
         self.base_key = jax.random.key(self.seed)
 
@@ -143,6 +155,7 @@ class Generator:
         t_table = self._t_table
         alpha_tables = self._alpha_tables
         base_key = self.base_key
+        lane_constraint = self._lane_constraint
         pnp_attn_steps = getattr(self, "pnp_attn_steps", 0)
         pnp_conv_steps = getattr(self, "pnp_conv_steps", 0)
 
@@ -164,7 +177,7 @@ class Generator:
             lanes = [x_chunk, x_chunk]
             if use_pnp:
                 lanes = [source_full[fidx].astype(x_chunk.dtype)] + lanes
-            x_in = jnp.concatenate(lanes)
+            x_in = lane_constraint(jnp.concatenate(lanes))
             ctx = jnp.repeat(context, F, axis=0)
             if use_depth:
                 depth = jnp.tile(depth_full[fidx], (num_lanes, 1, 1, 1))

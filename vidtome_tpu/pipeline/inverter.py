@@ -31,9 +31,14 @@ from vidtome_tpu.control.preprocess import control_preprocess
 
 class Inverter:
     def __init__(self, bundle: ModelBundle, config, use_pallas=None,
-                 shard_fn=None):
+                 shard_fn=None, mesh=None):
         self.bundle = bundle
         self.config = config
+        if mesh is not None and shard_fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(mesh, P("data"))
+            shard_fn = lambda x: jax.lax.with_sharding_constraint(x, spec)  # noqa: E731
         inv = config.inversion
         self.steps = int(inv.steps)
         self.save_steps = int(inv.get("save_steps", self.steps))
@@ -62,6 +67,10 @@ class Inverter:
         if use_controlnet:
             controlnet = bundle.make_controlnet(use_pallas=use_pallas)
             self._params["controlnet"] = bundle.controlnet_params
+        if mesh is not None:
+            from vidtome_tpu.parallel import mesh as pmesh
+
+            self._params = pmesh.shard_params(mesh, self._params)
         control_scale = self.control_scale
 
         # Timestep / alpha tables gathered by traced step index (a Python
