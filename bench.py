@@ -40,6 +40,9 @@ def main():
                         help="SDXL-1024p merged-UNet stress benchmark "
                              "(BASELINE stress config) instead of the edit "
                              "pipeline")
+    parser.add_argument("--share-match", action="store_true",
+                        help="share the bipartite matching across sibling "
+                             "blocks per level (perf option)")
     args = parser.parse_args()
     if args.quick:
         args.frames, args.steps = 8, 5
@@ -76,6 +79,7 @@ def main():
             "local_merge_ratio": 0.9, "merge_global": True,
             "global_merge_ratio": 0.8, "global_rand": 0.5,
             "align_batch": False, "save_frame": False,
+            "share_match": bool(args.share_match),
         },
     })
     gen = Generator(bundle, cfg)

@@ -75,6 +75,47 @@ class TestUNet:
         np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_p),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_share_match_runs_and_is_exact_for_identical_frames(self, tiny_unet):
+        """share_match reuses one matching per level; with identical frames
+        at ratio 1.0 both modes are exact, so outputs must agree."""
+        _, params = tiny_unet
+        frame = jax.random.normal(jax.random.key(20), (1, 16, 16, 4))
+        x = jnp.tile(frame, (4, 1, 1, 1))
+        ctx = jnp.tile(jax.random.normal(jax.random.key(21), (1, 8, 32)),
+                       (4, 1, 1))
+        outs = {}
+        for shared in (False, True):
+            tome = ToMeConfig(frames=4, local_merge_ratio=1.0,
+                              share_match=shared)
+            model = UNet2DConditionModel(config=TINY_UNET, tome=tome,
+                                         dtype=jnp.float32, use_pallas=False)
+            outs[shared] = model.apply(
+                params, x, jnp.asarray(10), ctx,
+                tome_call=ToMeCall(key=jax.random.key(22), bank_mode="off"),
+                num_lanes=1)
+        np.testing.assert_allclose(np.asarray(outs[True]),
+                                   np.asarray(outs[False]),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_share_match_with_global_bank(self, tiny_unet):
+        _, params = tiny_unet
+        tome = ToMeConfig(frames=4, local_merge_ratio=0.9, merge_global=True,
+                          share_match=True)
+        model = UNet2DConditionModel(config=TINY_UNET, tome=tome,
+                                     dtype=jnp.float32, use_pallas=False)
+        x = jax.random.normal(jax.random.key(23), (8, 16, 16, 4))
+        ctx = jax.random.normal(jax.random.key(24), (8, 8, 32))
+        out1, v1 = model.apply(
+            params, x, jnp.asarray(10), ctx,
+            tome_call=ToMeCall(key=jax.random.key(25), bank_mode="init"),
+            num_lanes=2, mutable=["tome_bank"])
+        out2, _ = model.apply(
+            {**params, **v1}, x, jnp.asarray(10), ctx,
+            tome_call=ToMeCall(key=jax.random.key(26), bank_mode="merge"),
+            num_lanes=2, mutable=["tome_bank"])
+        assert np.isfinite(np.asarray(out1)).all()
+        assert np.isfinite(np.asarray(out2)).all()
+
     def test_global_bank_lifecycle(self, tiny_unet):
         _, params = tiny_unet
         tome = ToMeConfig(frames=2, local_merge_ratio=0.9, merge_global=True)

@@ -60,16 +60,15 @@ class TimestepEmbedding(nn.Module):
 
 
 def _group_norm(x, name, num_groups=32, eps=1e-5):
-    """GroupNorm with fp32 statistics regardless of compute dtype.  Clamps
-    the group count for tiny test configs (SD channel counts are always
-    multiples of 32)."""
-    dtype = x.dtype
+    """GroupNorm at the compute dtype (flax computes mean/var in fp32
+    internally, so no manual upcast round trip — that would double HBM
+    traffic on the big NHWC activations).  Clamps the group count for tiny
+    test configs (SD channel counts are always multiples of 32)."""
     groups = num_groups
     while x.shape[-1] % groups != 0:
         groups //= 2
-    out = nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=jnp.float32,
-                       name=name)(x.astype(jnp.float32))
-    return out.astype(dtype)
+    return nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=x.dtype,
+                        name=name)(x)
 
 
 class ResnetBlock2D(nn.Module):
@@ -200,10 +199,8 @@ class GEGLUFeedForward(nn.Module):
 
 
 def _layer_norm(x, name, eps=1e-5):
-    dtype = x.dtype
-    out = nn.LayerNorm(epsilon=eps, dtype=jnp.float32,
-                       name=name)(x.astype(jnp.float32))
-    return out.astype(dtype)
+    # fp32 stats happen inside flax; keep activations at compute dtype.
+    return nn.LayerNorm(epsilon=eps, dtype=x.dtype, name=name)(x)
 
 
 class TransformerBlock(nn.Module):
@@ -242,12 +239,28 @@ class TransformerBlock(nn.Module):
             key_local, key_coin = jax.random.split(
                 jax.random.fold_in(tome_call.key, 0))
             joined = merge_ops.join_frames(norm_x, F)
-            local_tokens, plans = merge_ops.compute_local_merge(
-                joined, F, cfg.local_merge_ratio, key_local,
-                target_stride=cfg.target_stride,
-                align_batch=cfg.align_batch, mode=cfg.merge_mode,
-            )
-            tokens = local_tokens
+
+            # share_match: the first block at each resolution level computes
+            # the matching; siblings reuse the (traced) plan index arrays.
+            cache = (tome_call.plan_cache
+                     if cfg.share_match and tome_call.plan_cache is not None
+                     else None)
+            cache_key = (self.downsample, joined.shape[1], joined.shape[2])
+            cached = cache.get(cache_key) if cache is not None else None
+
+            if cached is not None:
+                plans = cached["plans"]
+                tokens = joined
+                for p in plans:
+                    tokens = merge_ops.merge(tokens, p, cfg.merge_mode)
+                local_tokens = tokens
+            else:
+                local_tokens, plans = merge_ops.compute_local_merge(
+                    joined, F, cfg.local_merge_ratio, key_local,
+                    target_stride=cfg.target_stride,
+                    align_batch=cfg.align_batch, mode=cfg.merge_mode,
+                )
+                tokens = local_tokens
             global_plan = None
             local_is_src = None
             L = local_tokens.shape[1]
@@ -268,11 +281,18 @@ class TransformerBlock(nn.Module):
                     cat_ls = jnp.concatenate([local_tokens, bank_tokens], 1)
                     cat_sl = jnp.concatenate([bank_tokens, local_tokens], 1)
                     tokens_cat = jnp.where(local_is_src, cat_ls, cat_sl)
-                    global_plan = merge_ops.two_set_matching(
-                        tokens_cat, src_len=L, ratio=cfg.global_merge_ratio,
-                        align_batch=cfg.align_batch,
-                        keep_sorted_indices=cfg.merge_mode != "replace",
-                    )
+                    if cached is not None and "global_plan" in cached:
+                        global_plan = cached["global_plan"]
+                    else:
+                        global_plan = merge_ops.two_set_matching(
+                            tokens_cat, src_len=L,
+                            ratio=cfg.global_merge_ratio,
+                            align_batch=cfg.align_batch,
+                            keep_sorted_indices=cfg.merge_mode != "replace",
+                        )
+                        if cache is not None:
+                            cache.setdefault(cache_key, {})[
+                                "global_plan"] = global_plan
                     tokens = merge_ops.merge(tokens_cat, global_plan,
                                              cfg.merge_mode)
                     # Bank update: unmerged LOCAL partition of the merged
@@ -281,6 +301,9 @@ class TransformerBlock(nn.Module):
                     local_part = jnp.where(
                         local_is_src, full[:, :L], full[:, L:])
                     bank.value = jax.lax.stop_gradient(local_part)
+
+            if cache is not None and cached is None:
+                cache.setdefault(cache_key, {})["plans"] = plans
 
             if cfg.collect_stats:
                 # Observability: per-block token compression + how much of

@@ -33,6 +33,11 @@ class ToMeConfig:
                                      # 'tome_stats' collection (observability;
                                      # generalizes the reference's
                                      # collect_from_patch, patch.py:373-387)
+    share_match: bool = False        # compute the bipartite matching once
+                                     # per resolution level per forward and
+                                     # reuse the plan in sibling blocks
+                                     # (perf option; the reference matches
+                                     # per block — documented deviation)
 
     def merged_local_len(self, tokens_per_frame: int) -> int:
         """Static length of the locally-merged sequence for one chunk."""
@@ -64,10 +69,16 @@ class ToMeCall:
          timestep: store local tokens as the new bank), or 'merge' (merge
          against the existing bank and update it).  Static: selects the
          compiled graph variant.
+    plan_cache: trace-time cache for ``share_match``: the first block at a
+         resolution level stores its merge plans (traced index arrays);
+         sibling blocks reuse them.  Plain Python dict mutated during
+         tracing — it never crosses a jit boundary (ToMeCall is constructed
+         inside the jitted step).
     """
 
     key: object
     bank_mode: str = "off"
+    plan_cache: dict | None = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         assert self.bank_mode in ("off", "init", "merge")

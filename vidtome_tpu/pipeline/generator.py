@@ -77,6 +77,7 @@ class Generator:
             max_downsample=int(gene.get("max_downsample", 2)),
             target_stride=int(gene.get("target_stride", 4)),
             align_batch=self.use_pnp or bool(gene.get("align_batch", False)),
+            share_match=bool(gene.get("share_match", False)),
         )
 
         self.scheduler = DDIMScheduler.create(self.n_timesteps)
@@ -314,6 +315,17 @@ class Generator:
 
     def ddim_sample(self, x, context):
         print("[INFO] denoising frames...")
+        profile_dir = (self.config.get("tpu", {}) or {}).get("profile_dir")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        try:
+            return self._ddim_sample(x, context)
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
+                print(f"[INFO] profiler trace written to {profile_dir}")
+
+    def _ddim_sample(self, x, context):
         sch = self.scheduler
         rng = np.random.default_rng(self.seed)
         zero = jnp.zeros((), self.bundle.dtype)

@@ -48,6 +48,12 @@ class Inverter:
         self.force = bool(inv.get("force", False))
         self.recon = bool(inv.get("recon", False))
         self.prompt = inv.prompt
+        # Parity note: the reference reads `use_blip` (invert.py:60) but
+        # never acts on it — a dead flag.  Accept it and warn.
+        if inv.get("use_blip", False):
+            print("[WARNING] use_blip is accepted for config compatibility "
+                  "but not implemented (the reference never implements it "
+                  "either); supply inversion.prompt directly")
         self.control = inv.get("control", "none")
         self.control_scale = float(inv.get("control_scale", 1.0))
         self.height, self.width = int(config.height), int(config.width)
