@@ -26,15 +26,31 @@ class CLIPTextConfig:
     max_positions: int = 77
     hidden_act: str = "quick_gelu"   # SD2.x OpenCLIP: "gelu"
     layer_norm_eps: float = 1e-5
+    # SDXL conditioning options:
+    clip_skip: int = 0               # take hidden states k layers before the
+                                     # end (SDXL uses the penultimate layer,
+                                     # clip_skip=1, WITHOUT the final LN)
+    projection_dim: int = 0          # >0: also return the EOS-pooled text
+                                     # projection (SDXL text_encoder_2)
 
 
 SD15_TEXT = CLIPTextConfig()
 SD21_TEXT = CLIPTextConfig(hidden_size=1024, num_layers=23, num_heads=16,
                            intermediate_size=4096, hidden_act="gelu")
+# SDXL dual encoders: CLIP ViT-L (penultimate states) + OpenCLIP bigG
+# (penultimate states + pooled projection).
+SDXL_TEXT_1 = CLIPTextConfig(clip_skip=1)
+SDXL_TEXT_2 = CLIPTextConfig(hidden_size=1280, num_layers=32, num_heads=20,
+                             intermediate_size=5120, hidden_act="gelu",
+                             clip_skip=1, projection_dim=1280)
 
 TINY_TEXT = CLIPTextConfig(vocab_size=1000, hidden_size=32, num_layers=2,
                            num_heads=2, intermediate_size=64,
                            max_positions=16)
+TINY_TEXT_2 = CLIPTextConfig(vocab_size=1000, hidden_size=16, num_layers=2,
+                             num_heads=2, intermediate_size=32,
+                             max_positions=16, clip_skip=1,
+                             projection_dim=16)
 
 
 def _act(name: str):
@@ -96,8 +112,14 @@ class CLIPTextModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        """[B, S] int32 token ids -> [B, S, hidden] last hidden state."""
+    def __call__(self, input_ids: jnp.ndarray, eos_token_id: int | None = None):
+        """[B, S] int32 ids -> [B, S, hidden] hidden states.
+
+        Default (clip_skip=0): final-LN'd last hidden state (SD1.x/2.x).
+        clip_skip=k: the hidden state k layers before the end, WITHOUT the
+        final LN (SDXL convention).  With projection_dim > 0 also returns
+        the EOS-pooled text projection as a second output (pooled from the
+        final-LN'd last layer at the first EOS position)."""
         c = self.cfg
         B, S = input_ids.shape
         tok = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
@@ -108,7 +130,23 @@ class CLIPTextModel(nn.Module):
         ).astype(self.dtype)
         x = tok + pos[None, :S]
         causal = jnp.tril(jnp.ones((S, S), bool))[None, None]
+        hidden_states = []
         for i in range(c.num_layers):
             x = CLIPLayer(c, dtype=self.dtype, name=f"layers_{i}")(x, causal)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                            name="final_layer_norm")(x)
+            hidden_states.append(x)
+        final = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                             name="final_layer_norm")(x)
+        out = final if c.clip_skip == 0 else hidden_states[-1 - c.clip_skip]
+
+        if c.projection_dim:
+            if eos_token_id is None:
+                eos_token_id = c.vocab_size - 1
+            eos_pos = jnp.argmax(
+                (input_ids == eos_token_id).astype(jnp.int32), axis=1)
+            pooled = jnp.take_along_axis(
+                final, eos_pos[:, None, None], axis=1)[:, 0]
+            pooled = nn.Dense(c.projection_dim, use_bias=False,
+                              dtype=self.dtype,
+                              name="text_projection")(pooled)
+            return out, pooled
+        return out

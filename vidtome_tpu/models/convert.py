@@ -183,7 +183,11 @@ _TEXT_RULES = [
 def convert_text_encoder(state: dict[str, np.ndarray]) -> dict[str, Any]:
     flat: dict[str, np.ndarray] = {}
     for key, value in state.items():
-        if "position_ids" in key or key.startswith("text_projection"):
+        if "position_ids" in key:
+            continue
+        if key in ("text_projection.weight", "text_model.text_projection.weight"):
+            # SDXL text_encoder_2 pooled projection (bias-free linear)
+            flat["text_projection/kernel"] = value.T
             continue
         if key == "text_model.embeddings.position_embedding.weight":
             flat["position_embedding"] = value

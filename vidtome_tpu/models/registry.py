@@ -32,6 +32,7 @@ SD_MODEL_KEYS = {
     "2.0": "stable-diffusion-2-base",
     "1.5": "stable-diffusion-v1-5",
     "depth": "stable-diffusion-2-depth",
+    "xl": "stable-diffusion-xl-base-1.0",
 }
 
 SD_CONFIGS: dict[str, tuple[UNetConfig, CLIPTextConfig]] = {
@@ -41,6 +42,7 @@ SD_CONFIGS: dict[str, tuple[UNetConfig, CLIPTextConfig]] = {
     "depth": (SD2_DEPTH_UNET, SD21_TEXT),
     # weight-free smoke-test stack (random weights, tiny shapes)
     "tiny": (None, None),  # resolved in init_model
+    "xl": (None, None),    # resolved in init_model (dual text encoders)
 }
 
 # VAE channel stacks per version ('tiny' shrinks everything; all real SD
@@ -84,10 +86,18 @@ class ModelBundle:
     controlnet_config: Optional[UNetConfig] = None
     random_weights: bool = False
     vae_channels: tuple = VAE_CHANNELS["default"]
+    vae_scaling: float = 0.18215           # SDXL: 0.13025
+    # SDXL second text encoder (OpenCLIP bigG: penultimate states + pooled)
+    text2_config: Optional[CLIPTextConfig] = None
+    text2_params: Any = None
 
     @property
     def use_depth(self) -> bool:
         return self.sd_version == "depth"
+
+    @property
+    def is_xl(self) -> bool:
+        return self.text2_config is not None
 
     def make_unet(self, tome: Optional[ToMeConfig] = None,
                   use_pallas: Optional[bool] = None) -> UNet2DConditionModel:
@@ -97,7 +107,13 @@ class ModelBundle:
     def make_vae(self) -> AutoencoderKL:
         chans, layers = self.vae_channels
         return AutoencoderKL(block_out_channels=chans,
-                             layers_per_block=layers, dtype=self.dtype)
+                             layers_per_block=layers,
+                             scaling_factor=self.vae_scaling,
+                             dtype=self.dtype)
+
+    def make_text_model_2(self) -> CLIPTextModel:
+        assert self.text2_config is not None
+        return CLIPTextModel(cfg=self.text2_config, dtype=jnp.float32)
 
     def make_text_model(self) -> CLIPTextModel:
         return CLIPTextModel(cfg=self.text_config, dtype=jnp.float32)
@@ -156,12 +172,21 @@ def init_model(
     dtype = jnp.bfloat16 if weight_dtype in ("bf16", "fp16") else jnp.float32
     if sd_version not in SD_CONFIGS and model_key is None:
         raise ValueError(f"Stable-diffusion version {sd_version} not supported.")
+    text2_cfg = None
+    vae_scaling = 0.18215
     if sd_version == "tiny":
         from vidtome_tpu.models.clip_text import TINY_TEXT
         from vidtome_tpu.models.unet import TINY_UNET
 
         unet_cfg, text_cfg = TINY_UNET, TINY_TEXT
         vae_channels = VAE_CHANNELS["tiny"]
+    elif sd_version == "xl":
+        from vidtome_tpu.models.clip_text import SDXL_TEXT_1, SDXL_TEXT_2
+        from vidtome_tpu.models.unet import SDXL_UNET
+
+        unet_cfg, text_cfg, text2_cfg = SDXL_UNET, SDXL_TEXT_1, SDXL_TEXT_2
+        vae_channels = VAE_CHANNELS["default"]
+        vae_scaling = 0.13025
     else:
         unet_cfg, text_cfg = SD_CONFIGS.get(sd_version, SD_CONFIGS["1.5"])
         vae_channels = VAE_CHANNELS["default"]
@@ -169,6 +194,7 @@ def init_model(
     name = model_key or SD_MODEL_KEYS.get(sd_version, f"sd-{sd_version}")
     have_weights = model_key is not None and os.path.isdir(model_key)
 
+    text2_params = None
     if have_weights:
         print(f"[INFO] loading stable diffusion from: {model_key}")
         unet_params = convert.convert_unet(
@@ -180,6 +206,10 @@ def init_model(
         unet_params = _cast(unet_params, dtype)
         vae_params = _cast(vae_params, dtype)
         text_params = _cast(text_params, jnp.float32)
+        if text2_cfg is not None:
+            text2_params = _cast(convert.convert_text_encoder(
+                convert.load_component_state(model_key, "text_encoder_2")),
+                jnp.float32)
     else:
         if not allow_random_weights:
             raise FileNotFoundError(
@@ -189,6 +219,8 @@ def init_model(
         unet_params = _random_unet_params(unet_cfg, dtype)
         vae_params = _random_vae_params(dtype, vae_channels)
         text_params = _random_text_params(text_cfg)
+        if text2_cfg is not None:
+            text2_params = _random_text_params(text2_cfg, seed=4)
 
     tokenizer = load_tokenizer(model_key if have_weights else None,
                                vocab_size=text_cfg.vocab_size,
@@ -199,7 +231,8 @@ def init_model(
         text_config=text_cfg, unet_params=unet_params,
         vae_params=vae_params, text_params=text_params, tokenizer=tokenizer,
         dtype=dtype, random_weights=not have_weights,
-        vae_channels=vae_channels)
+        vae_channels=vae_channels, vae_scaling=vae_scaling,
+        text2_config=text2_cfg, text2_params=text2_params)
 
     if control not in ("none", "pnp"):
         assert control in CONTROLNET_DICT, f"unknown control type {control}"

@@ -123,6 +123,7 @@ class AutoencoderKL(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
     latent_channels: int = 4
+    scaling_factor: float = SD_VAE_SCALING   # SDXL: 0.13025
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -141,11 +142,11 @@ class AutoencoderKL(nn.Module):
         (deterministic: posterior mean, reference invert.py:105)."""
         moments = self.quant_conv(self.encoder(images))
         mean = moments[..., : self.latent_channels]
-        return mean * SD_VAE_SCALING
+        return mean * self.scaling_factor
 
     def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
         """Scaled latents -> images in [0, 1] (reference invert.py:84-89)."""
-        z = self.post_quant_conv(latents / SD_VAE_SCALING)
+        z = self.post_quant_conv(latents / self.scaling_factor)
         imgs = self.decoder(z)
         return jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 

@@ -73,9 +73,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         preferred_element_type=jnp.float32,
     ) * sm_scale  # [block_q, block_k]
 
-    # Mask padded KV columns (static kv_len baked per compile).
-    col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, _NEG_INF)
+    # Mask padded KV columns (static kv_len baked per compile).  When the
+    # valid length is tile-aligned there is no padding anywhere and the
+    # mask compiles away entirely.
+    if kv_len % block_k != 0:
+        col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                          s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_scr[...]  # [block_q, 128] (lanes equal)
     l_prev = l_scr[...]

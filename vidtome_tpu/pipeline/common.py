@@ -17,12 +17,17 @@ from vidtome_tpu.models.vae import AutoencoderKL
 
 
 class TextEncoder:
-    """Tokenize + encode prompts to UNet cross-attention context."""
+    """Tokenize + encode prompts to UNet cross-attention context.
+
+    For SDXL bundles (dual encoders) the context is the concatenation of
+    both encoders' penultimate hidden states and a pooled projection from
+    encoder 2 is returned alongside."""
 
     def __init__(self, bundle: ModelBundle):
         self._tokenizer = bundle.tokenizer
         model = bundle.make_text_model()
         self._params = bundle.text_params
+        self.is_xl = bundle.is_xl
 
         @jax.jit
         def encode(params, ids):
@@ -30,20 +35,41 @@ class TextEncoder:
 
         self._encode = encode
 
-    def __call__(self, prompts: str | list[str]) -> jnp.ndarray:
+        if self.is_xl:
+            model2 = bundle.make_text_model_2()
+            self._params2 = bundle.text2_params
+
+            @jax.jit
+            def encode2(params, ids):
+                return model2.apply({"params": params}, ids)
+
+            self._encode2 = encode2
+
+    def __call__(self, prompts: str | list[str]):
         ids = jnp.asarray(self._tokenizer(prompts))
-        return self._encode(self._params, ids)
+        hidden = self._encode(self._params, ids)
+        if not self.is_xl:
+            return hidden
+        hidden2, pooled = self._encode2(self._params2, ids)
+        return jnp.concatenate([hidden, hidden2], axis=-1), pooled
 
     def embed_cfg(self, prompt: str, negative_prompt: str | None,
-                  pnp: bool = False) -> jnp.ndarray:
+                  pnp: bool = False):
         """[uncond; cond] (+ leading empty-prompt lane for PnP,
-        reference generate.py:100-108)."""
-        lanes = []
+        reference generate.py:100-108).  SDXL: returns (context, pooled)."""
+        prompts = []
         if pnp:
-            lanes.append(self("")[0])
-        lanes.append(self(negative_prompt or "")[0])
-        lanes.append(self(prompt)[0])
-        return jnp.stack(lanes)
+            prompts.append("")
+        prompts.append(negative_prompt or "")
+        prompts.append(prompt)
+        if self.is_xl:
+            ctxs, pooleds = [], []
+            for p in prompts:
+                c, pl = self(p)
+                ctxs.append(c[0])
+                pooleds.append(pl[0])
+            return jnp.stack(ctxs), jnp.stack(pooleds)
+        return jnp.stack([self(p)[0] for p in prompts])
 
 
 class VAECoder:

@@ -160,13 +160,19 @@ class Generator:
         pnp_attn_steps = getattr(self, "pnp_attn_steps", 0)
         pnp_conv_steps = getattr(self, "pnp_conv_steps", 0)
 
+        is_xl = self.bundle.is_xl
+
         def chunk_eps(bank_mode, params, x_full, eps_buf, fidx, banks,
                       step_i, chunk_pos, context, source_full, depth_full,
                       control_full, guidance_scale):
             """Gather one chunk, run CFG lanes through the merged UNet,
-            scatter eps back into the full buffer."""
+            scatter eps back into the full buffer.  ``context`` is the lane
+            context array, or (context, pooled, time_ids) for SDXL."""
             unet_params = params["unet"]
             cn_params = params.get("controlnet")
+            xl_kwargs = {}
+            if is_xl:
+                context, pooled, time_ids = context
             n_chunks = eps_buf.shape[0] // fidx.shape[0]
             t = t_table[step_i]
             key = jax.random.fold_in(base_key,
@@ -180,6 +186,10 @@ class Generator:
                 lanes = [source_full[fidx].astype(x_chunk.dtype)] + lanes
             x_in = lane_constraint(jnp.concatenate(lanes))
             ctx = jnp.repeat(context, F, axis=0)
+            if is_xl:
+                xl_kwargs = dict(
+                    add_text_embeds=jnp.repeat(pooled, F, axis=0),
+                    add_time_ids=jnp.repeat(time_ids, F, axis=0))
             if use_depth:
                 depth = jnp.tile(depth_full[fidx], (num_lanes, 1, 1, 1))
                 x_in = jnp.concatenate([x_in, depth.astype(x_in.dtype)], -1)
@@ -203,12 +213,13 @@ class Generator:
                 eps_all, mut = unet.apply(
                     variables, x_in, t, ctx, tome_call=tome_call,
                     num_lanes=num_lanes, mutable=["tome_bank"],
-                    **pnp_kwargs, **kwargs)
+                    **pnp_kwargs, **kwargs, **xl_kwargs)
                 banks_out = mut["tome_bank"]
             else:
                 eps_all = unet.apply(
                     variables, x_in, t, ctx, tome_call=tome_call,
-                    num_lanes=num_lanes, **pnp_kwargs, **kwargs)
+                    num_lanes=num_lanes, **pnp_kwargs, **kwargs,
+                    **xl_kwargs)
                 banks_out = banks
             eps_uncond = eps_all[(num_lanes - 2) * F:(num_lanes - 1) * F]
             eps_cond = eps_all[(num_lanes - 1) * F:]
@@ -374,6 +385,13 @@ class Generator:
             print(f"[INFO] current prompt: {edit_prompt}")
             context = self.text.embed_cfg(edit_prompt, self.negative_prompt,
                                           pnp=self.use_pnp)
+            if self.bundle.is_xl:
+                ctx, pooled = context
+                h, w = float(self.height), float(self.width)
+                time_ids = jnp.tile(
+                    jnp.asarray([[h, w, 0.0, 0.0, h, w]], jnp.float32),
+                    (ctx.shape[0], 1))
+                context = (ctx, pooled, time_ids)
             clean = self.ddim_sample(self.init_noise, context)
             frames = np.asarray(self.vae.decode(clean[: self.n_frames]))
             cur_out = os.path.join(output_path, edit_name)

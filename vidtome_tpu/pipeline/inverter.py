@@ -95,20 +95,30 @@ class Inverter:
                             smp_a=smp_a)
 
         shard_fn = self.shard_fn
+        is_xl = bundle.is_xl
+        height, width = float(self.height), float(self.width)
 
         def eps_fn(params, x, tables, step_i, inversion, context, depth,
                    control_images):
-            """x: [b, h, w, 4] latents for a frame batch."""
+            """x: [b, h, w, 4] latents for a frame batch.  ``context`` is
+            the per-frame context array, or (context, pooled) for SDXL."""
             t = jnp.where(inversion, tables["t_up"][step_i],
                           tables["t_down"][step_i])
+            kwargs = {}
+            if is_xl:
+                context, pooled = context
+                time_ids = jnp.tile(
+                    jnp.asarray([[height, width, 0.0, 0.0, height, width]],
+                                jnp.float32), (x.shape[0], 1))
+                kwargs.update(add_text_embeds=pooled,
+                              add_time_ids=time_ids)
             if bundle.use_depth:
                 x = jnp.concatenate([x, depth.astype(x.dtype)], axis=-1)
-            kwargs = {}
             if use_controlnet:
                 down_r, mid_r = controlnet.apply(
                     {"params": params["controlnet"]}, x, t, context,
                     control_images, conditioning_scale=control_scale)
-                kwargs = dict(down_residuals=down_r, mid_residual=mid_r)
+                kwargs.update(down_residuals=down_r, mid_residual=mid_r)
             return unet.apply({"params": params["unet"]}, x, t, context,
                               **kwargs)
 
@@ -126,13 +136,17 @@ class Inverter:
             def body(_, inputs):
                 xb, cb, db, ctb = inputs
                 eps = eps_fn(params, shard_fn(xb), tables, step_i,
-                             jnp.asarray(inversion), shard_fn(cb), db, ctb)
+                             jnp.asarray(inversion),
+                             jax.tree.map(shard_fn, cb), db, ctb)
                 return None, eps
 
-            def batched(a, dummy_shape=None):
+            def batched_one(a):
                 if a is None or a.ndim == 0:
                     return jnp.zeros((nb, bs, 1), x.dtype)
                 return a.reshape(nb, bs, *a.shape[1:])
+
+            def batched(a):
+                return jax.tree.map(batched_one, a)
 
             _, eps_all = jax.lax.scan(
                 body, None,
@@ -152,10 +166,14 @@ class Inverter:
     def _pad_frames(self, a, n_target):
         if a is None:
             return None
-        pad = n_target - a.shape[0]
-        if pad <= 0:
-            return a
-        return jnp.concatenate([a, jnp.repeat(a[-1:], pad, 0)])
+
+        def pad_one(arr):
+            pad = n_target - arr.shape[0]
+            if pad <= 0:
+                return arr
+            return jnp.concatenate([arr, jnp.repeat(arr[-1:], pad, 0)])
+
+        return jax.tree.map(pad_one, a)
 
     def _run(self, latents, conds, depth, control, inversion, on_step=None):
         n = latents.shape[0]
