@@ -12,7 +12,6 @@ The artifact layout also serves as the framework's own distribution format.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Optional

@@ -5,9 +5,6 @@ The jitted closures here are the building blocks both stages share
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -127,16 +124,20 @@ def get_frame_ids(frame_range, frame_ids=None) -> list[int]:
     return frame_ids
 
 
-def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 1.0) -> float:
-    mse = float(np.mean((np.asarray(a, np.float64)
-                         - np.asarray(b, np.float64)) ** 2))
-    if mse == 0:
-        return float("inf")
-    return 10.0 * float(np.log10(max_val ** 2 / mse))
-
-
-def resolve_precision(config, stage_cfg) -> str:
+def resolve_precision(config, stage_cfg, bundle=None) -> str:
     """Stage-level float_precision falls back to the global setting
-    (reference invert.py:26)."""
-    return stage_cfg.get("float_precision", config.get("float_precision",
-                                                       "bf16"))
+    (reference invert.py:26).  Warns when a stage requests a precision the
+    loaded weights don't use (weights are cast once at load time)."""
+    prec = stage_cfg.get("float_precision",
+                         config.get("float_precision", "bf16"))
+    if prec == "fp16":
+        prec = "bf16"  # TPU-native half precision
+    if bundle is not None:
+        import jax.numpy as jnp
+
+        want = jnp.bfloat16 if prec == "bf16" else jnp.float32
+        if want != bundle.dtype:
+            print(f"[WARNING] stage requests float_precision={prec} but "
+                  f"weights are {jnp.dtype(bundle.dtype).name}; set the "
+                  "global float_precision before model load to change it")
+    return prec

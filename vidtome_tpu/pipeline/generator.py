@@ -33,7 +33,8 @@ from vidtome_tpu.io import artifacts
 from vidtome_tpu.io.video import load_video, save_video
 from vidtome_tpu.models.registry import CONTROLNET_DICT, ModelBundle
 from vidtome_tpu.models.tome import ToMeCall, ToMeConfig
-from vidtome_tpu.pipeline.common import TextEncoder, VAECoder
+from vidtome_tpu.pipeline.common import (TextEncoder, VAECoder,
+                                          resolve_precision)
 from vidtome_tpu.control.depth import prepare_depth_latents
 from vidtome_tpu.control.preprocess import control_preprocess
 
@@ -80,6 +81,7 @@ class Generator:
             share_match=bool(gene.get("share_match", False)),
         )
 
+        resolve_precision(config, gene, bundle)
         self.scheduler = DDIMScheduler.create(self.n_timesteps)
         if self.use_pnp:
             self.pnp_attn_steps = int(

@@ -24,7 +24,8 @@ from vidtome_tpu.core.scheduler import (DDIMScheduler, ddim_inverse_step,
 from vidtome_tpu.io import artifacts
 from vidtome_tpu.io.video import load_video, save_frames
 from vidtome_tpu.models.registry import ModelBundle
-from vidtome_tpu.pipeline.common import TextEncoder, VAECoder
+from vidtome_tpu.pipeline.common import (TextEncoder, VAECoder,
+                                          resolve_precision)
 from vidtome_tpu.control.depth import prepare_depth_latents
 from vidtome_tpu.control.preprocess import control_preprocess
 
@@ -60,6 +61,7 @@ class Inverter:
         self.work_dir = config.work_dir
         self.shard_fn = shard_fn or (lambda x: x)
 
+        resolve_precision(config, inv, bundle)
         self.scheduler = DDIMScheduler.create(self.steps)
         save_sch = DDIMScheduler.create(self.save_steps)
         self.timesteps_to_save = set(int(t) for t in save_sch.timesteps)
