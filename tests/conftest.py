@@ -18,3 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the test box is a single CPU core, so
+# repeated tiny-model compiles dominate suite time; cache them across runs.
+from vidtome_tpu.runtime import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache(os.path.expanduser("~/.cache/vidtome_test_xla"))

@@ -117,8 +117,8 @@ def flash_attention(
     v: jnp.ndarray,
     kv_valid_len: int | None = None,
     sm_scale: float | None = None,
-    block_q: int = 1024,
-    block_k: int = 1024,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention. q: [B, H, Sq, D]; k, v: [B, H, Skv, D] -> [B, H, Sq, D].
@@ -126,9 +126,16 @@ def flash_attention(
     ``kv_valid_len``: number of real KV tokens (rest of Skv is padding to be
     masked).  Q-side padding needs no mask — padded query rows produce
     garbage that the caller slices off.
+
+    Default block sizes follow a v5e sweep: narrow heads (D<=64) favor
+    1024x1024 tiles (26.5 TF/s at D=40), wider heads favor 512x1024.
     """
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
+    if block_q is None:
+        block_q = 1024 if D <= 64 else 512
+    if block_k is None:
+        block_k = 1024
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
     kv_len = Skv if kv_valid_len is None else kv_valid_len
