@@ -100,6 +100,32 @@ def main():
     print(f"[bench] warmup/compile in {time.time() - t0:.1f}s",
           file=sys.stderr)
 
+    # Secondary: inversion-stage throughput (frames are independent; the
+    # other half of a full edit). Uses the same UNet params, no merging.
+    from vidtome_tpu.pipeline.inverter import Inverter
+
+    inv_cfg = Config(cfg.to_dict())
+    inv_cfg["inversion"] = {
+        "save_path": "/tmp/bench/latents", "prompt": "benchmark",
+        "steps": args.steps, "save_steps": args.steps,
+        "save_intermediate": False, "batch_size": 8, "force": True,
+        "recon": False, "control": "none", "control_scale": 1.0,
+        "n_frames": None,
+    }
+    inv = Inverter(bundle, inv_cfg)
+    conds = inv.text(["benchmark prompt"] * args.frames)
+    lat0 = jax.random.normal(jax.random.key(5),
+                             (args.frames, latent, latent, 4), jnp.bfloat16)
+    _ = inv._run(lat0[:8], jax.tree.map(lambda a: a[:8], conds), None, None,
+                 inversion=True)  # warm (8 = one batch)
+    t0 = time.time()
+    out = inv._run(lat0, conds, None, None, inversion=True)
+    _ = float(jnp.sum(out))
+    inv_elapsed = time.time() - t0
+    print(f"[bench] inversion: {args.frames} frames x {args.steps} steps in "
+          f"{inv_elapsed:.2f}s ({args.frames / inv_elapsed:.2f} frames/s)",
+          file=sys.stderr)
+
     # Timed run: full generation + decode, forced completion.
     t0 = time.time()
     clean = gen.ddim_sample(latents, context)

@@ -127,13 +127,13 @@ def flash_attention(
     masked).  Q-side padding needs no mask — padded query rows produce
     garbage that the caller slices off.
 
-    Default block sizes follow a v5e sweep: narrow heads (D<=64) favor
-    1024x1024 tiles (26.5 TF/s at D=40), wider heads favor 512x1024.
+    Default 1024x1024 blocks (best overall in the v5e sweep; a per-width
+    heuristic regressed end-to-end despite winning isolated microbenches).
     """
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     if block_q is None:
-        block_q = 1024 if D <= 64 else 512
+        block_q = 1024
     if block_k is None:
         block_k = 1024
     if sm_scale is None:
