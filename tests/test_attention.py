@@ -44,6 +44,20 @@ def test_kv_padding_mask():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_kv_mask_applies_when_valid_len_is_tile_aligned():
+    """Regression: kv_valid_len that is a multiple of block_k but smaller
+    than the padded sequence must still be masked (junk columns between
+    kv_valid_len and Skv, plus the zero padding, must not attend)."""
+    Sq, Skv, n, D = 64, 200, 128, 32
+    q, k, v = _qkv(jax.random.key(7), 1, 2, Sq, Skv, D)
+    k = k.at[:, :, n:].set(1e3)  # poison the invalid region
+    expected = reference_attention(q, k[:, :, :n], v[:, :, :n])
+    got = flash_attention(q, k, v, kv_valid_len=n, interpret=True,
+                          block_q=64, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_reference_mask_matches_slicing():
     q, k, v = _qkv(jax.random.key(2), 1, 1, 32, 128, 16)
     a = reference_attention(q, k, v, kv_valid_len=90)

@@ -328,6 +328,24 @@ class TestConverterRewrites:
         assert tree["mid_resnets_1"]["time_emb_proj"]["kernel"].shape == (128, 32)
         assert tree["up_1_upsample"]["conv"]["kernel"].shape == (3, 3, 32, 32)
 
+    def test_legacy_vae_attention_conversion(self):
+        """Regression: legacy conv-style [C, C, 1, 1] VAE attention weights
+        must convert to [in, out] dense kernels without crashing."""
+        from vidtome_tpu.models.convert import convert_vae
+
+        rng = np.random.default_rng(7)
+        C = 16
+        w = rng.standard_normal((C, C, 1, 1)).astype(np.float32)
+        state = {
+            "encoder.mid_block.attentions.0.query.weight": w,
+            "encoder.mid_block.attentions.0.query.bias":
+                np.zeros(C, np.float32),
+        }
+        tree = convert_vae(state)
+        kernel = tree["encoder"]["mid_attn"]["to_q"]["kernel"]
+        assert kernel.shape == (C, C)
+        np.testing.assert_allclose(kernel, w[:, :, 0, 0].T)
+
     def test_text_encoder_rewrites(self):
         from vidtome_tpu.models.convert import convert_text_encoder
 

@@ -64,10 +64,12 @@ def temporal_consistency(frames: np.ndarray) -> float:
         h, w = g0.shape
         grid = np.stack(np.meshgrid(np.arange(w), np.arange(h)), -1
                         ).astype(np.float32)
+        # Farneback convention: prev(y, x) ~ next(y + fy, x + fx), so
+        # sampling NEXT at grid+flow reconstructs PREV.
         remap = grid + flow
-        warped = cv2.remap(frames8[i], remap[..., 0], remap[..., 1],
-                           cv2.INTER_LINEAR)
-        vals.append(psnr(warped / 255.0, frames8[i + 1] / 255.0))
+        warped_prev = cv2.remap(frames8[i + 1], remap[..., 0],
+                                remap[..., 1], cv2.INTER_LINEAR)
+        vals.append(psnr(warped_prev / 255.0, frames8[i] / 255.0))
     return float(np.mean(vals)) if vals else float("inf")
 
 

@@ -158,12 +158,16 @@ def convert_vae(state: dict[str, np.ndarray]) -> dict[str, Any]:
     for key, value in state.items():
         new = _rewrite(key, _VAE_RULES)
         module, _ = new.rsplit(".", 1)
-        leaf, tensor = _convert_tensor(key, value)
-        # legacy VAE attention projections are stored [C, C, 1, 1]
-        if tensor.ndim == 4 and ("to_q" in new or "to_k" in new
-                                 or "to_v" in new or "to_out" in new):
-            tensor = tensor.reshape(tensor.shape[0], tensor.shape[1]).T
+        # legacy VAE attention projections are stored conv-style [C, C, 1, 1]
+        # — convert from the ORIGINAL [out, in, 1, 1] layout to [in, out]
+        # (not from the HWIO-transposed tensor, whose leading dims are 1).
+        if value.ndim == 4 and value.shape[2:] == (1, 1) and (
+                "to_q" in new or "to_k" in new or "to_v" in new
+                or "to_out" in new):
             leaf = "kernel"
+            tensor = value.reshape(value.shape[0], value.shape[1]).T
+        else:
+            leaf, tensor = _convert_tensor(key, value)
         flat[module.replace(".", "/") + "/" + leaf] = tensor
     return _unflatten(flat)
 

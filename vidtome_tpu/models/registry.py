@@ -170,8 +170,13 @@ def init_model(
     ``model_key``: local checkpoint dir (standard SD layout).  If None or
     missing, random weights are used (warned)."""
     dtype = jnp.bfloat16 if weight_dtype in ("bf16", "fp16") else jnp.float32
-    if sd_version not in SD_CONFIGS and model_key is None:
-        raise ValueError(f"Stable-diffusion version {sd_version} not supported.")
+    if sd_version not in SD_CONFIGS:
+        # With a custom model_key the sd_version still selects the
+        # architecture — fail loudly instead of silently assuming SD1.5.
+        raise ValueError(
+            f"Stable-diffusion version {sd_version!r} not supported "
+            f"(choices: {sorted(SD_CONFIGS)}); with a custom model_key, "
+            "pass the sd_version matching the checkpoint architecture.")
     text2_cfg = None
     vae_scaling = 0.18215
     if sd_version == "tiny":

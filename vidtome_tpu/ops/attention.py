@@ -57,7 +57,8 @@ def reference_attention(
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  sm_scale: float, kv_len: int, block_k: int, num_kv_tiles: int):
+                  sm_scale: float, kv_len: int, block_k: int,
+                  num_kv_tiles: int, needs_mask: bool):
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -73,10 +74,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         preferred_element_type=jnp.float32,
     ) * sm_scale  # [block_q, block_k]
 
-    # Mask padded KV columns (static kv_len baked per compile).  When the
-    # valid length is tile-aligned there is no padding anywhere and the
-    # mask compiles away entirely.
-    if kv_len % block_k != 0:
+    # Mask padded/invalid KV columns (static kv_len baked per compile).
+    # When kv_len covers the whole padded sequence the mask compiles away.
+    if needs_mask:
         col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                           s.shape, 1)
         s = jnp.where(col < kv_len, s, _NEG_INF)
@@ -162,6 +162,7 @@ def flash_attention(
         kv_len=kv_len,
         block_k=block_k,
         num_kv_tiles=num_kv_tiles,
+        needs_mask=kv_len < Skv_p,
     )
 
     out = pl.pallas_call(

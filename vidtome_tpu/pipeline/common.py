@@ -47,7 +47,16 @@ class TextEncoder:
         hidden = self._encode(self._params, ids)
         if not self.is_xl:
             return hidden
-        hidden2, pooled = self._encode2(self._params2, ids)
+        # SDXL's second tokenizer pads with id 0 ('!') instead of EOS: keep
+        # the first EOS, zero everything after it.
+        eos = getattr(self._tokenizer, "eos", None)
+        if eos is not None:
+            is_eos = (ids == eos).astype(jnp.int32)
+            after_first_eos = jnp.cumsum(is_eos, axis=1) - is_eos > 0
+            ids2 = jnp.where(after_first_eos, 0, ids)
+        else:
+            ids2 = ids
+        hidden2, pooled = self._encode2(self._params2, ids2)
         return jnp.concatenate([hidden, hidden2], axis=-1), pooled
 
     def embed_cfg(self, prompt: str, negative_prompt: str | None,

@@ -129,14 +129,6 @@ class Generator:
         self._alpha_tables = (jnp.asarray(a_t_all), jnp.asarray(a_prev_all))
         self._t_table = jnp.asarray(np.asarray(sch.timesteps, np.int32))
 
-        @jax.jit
-        def ddim(x, eps, tables, i):
-            a_t_tab, a_prev_tab = tables
-            # update in fp32 (alpha scalars promote), back to latent dtype —
-            # otherwise every downstream jit retraces in f32.
-            return ddim_step(x, eps, a_t_tab[i], a_prev_tab[i]).astype(x.dtype)
-
-        self._ddim = ddim
         self._step = self._build_step_fn()
 
     # ------------------------------------------------------------------
@@ -223,13 +215,13 @@ class Generator:
                     num_lanes=num_lanes, **pnp_kwargs, **kwargs,
                     **xl_kwargs)
                 banks_out = banks
-            eps_uncond = eps_all[(num_lanes - 2) * F:(num_lanes - 1) * F]
-            eps_cond = eps_all[(num_lanes - 1) * F:]
-            # CFG combine in fp32 (the reference's autocast leaves this in
-            # reduced precision; fp32 here is free and safer).
-            eps = (eps_uncond.astype(jnp.float32)
-                   + guidance_scale * (eps_cond - eps_uncond).astype(
-                       jnp.float32))
+            eps_uncond = eps_all[(num_lanes - 2) * F:(num_lanes - 1) * F
+                                 ].astype(jnp.float32)
+            eps_cond = eps_all[(num_lanes - 1) * F:].astype(jnp.float32)
+            # CFG combine in fp32 — cast BEFORE the difference so the
+            # guidance-amplified delta keeps full precision (the reference's
+            # autocast leaves this in reduced precision).
+            eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
             eps_buf = eps_buf.at[fidx].set(eps.astype(eps_buf.dtype))
             return eps_buf, banks_out
 
@@ -299,7 +291,7 @@ class Generator:
 
         init = artifacts.load_latent(latents_dir,
                                      int(self.scheduler.timesteps[0]),
-                                     frame_ids=list(range(n)))
+                                     frame_ids=frame_ids)
         self.init_noise = jnp.asarray(init, self.bundle.dtype)[self.pad_src]
 
         self.depth = None
@@ -351,7 +343,7 @@ class Generator:
             if self.use_pnp:
                 src_all = jnp.asarray(artifacts.load_latent(
                     self.latents_dir, int(sch.timesteps[i]),
-                    frame_ids=list(range(self.n_frames))))[self.pad_src]
+                    frame_ids=self.frame_ids))[self.pad_src]
             else:
                 src_all = zero
 
