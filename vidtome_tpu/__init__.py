@@ -18,3 +18,25 @@ attention kernel for the merged self-attention hot path.
 __version__ = "0.1.0"
 
 from vidtome_tpu.config import load_config, save_config  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy public API (keeps `import vidtome_tpu` light; jax/flax only load
+    # when the model stack is actually used).
+    if name == "init_model":
+        from vidtome_tpu.models.registry import init_model
+
+        return init_model
+    if name == "Inverter":
+        from vidtome_tpu.pipeline.inverter import Inverter
+
+        return Inverter
+    if name == "Generator":
+        from vidtome_tpu.pipeline.generator import Generator
+
+        return Generator
+    if name == "seed_everything":
+        from vidtome_tpu.utils import seed_everything
+
+        return seed_everything
+    raise AttributeError(name)
