@@ -92,3 +92,17 @@ def test_repo_default_config_loads():
     assert cfg.sd_version == "1.5"
     assert cfg.generation.chunk_size == 4
     assert cfg.inversion.save_path.endswith("/latents")
+
+
+def test_all_shipped_configs_load():
+    """Every worked-example config must inherit the default surface and
+    resolve cleanly (the reference ships the same four examples)."""
+    import glob
+
+    for path in sorted(glob.glob("configs/*.yaml")):
+        cfg = load_config_file(path)
+        assert "generation" in cfg and "inversion" in cfg, path
+        prompt = cfg.generation.prompt
+        assert prompt is None or isinstance(prompt, dict), path
+        assert cfg.generation.latents_path == cfg.inversion.save_path, path
+        assert 0 < cfg.generation.local_merge_ratio <= 1.0, path
