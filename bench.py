@@ -116,8 +116,12 @@ def main():
     conds = inv.text(["benchmark prompt"] * args.frames)
     lat0 = jax.random.normal(jax.random.key(5),
                              (args.frames, latent, latent, 4), jnp.bfloat16)
-    _ = inv._run(lat0[:8], jax.tree.map(lambda a: a[:8], conds), None, None,
-                 inversion=True)  # warm (8 = one batch)
+    # warm with the EXACT executable (full frame count): the scanned step
+    # compiles per batch count, so a smaller warmup would leave the compile
+    # inside the timing
+    warm = inv._full_step(inv._params, lat0, inv._tables,
+                          jnp.asarray(0, jnp.int32), True, conds, None, None)
+    _ = float(jnp.sum(warm))
     t0 = time.time()
     out = inv._run(lat0, conds, None, None, inversion=True)
     _ = float(jnp.sum(out))
