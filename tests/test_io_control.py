@@ -134,6 +134,18 @@ class TestTokenizer:
         np.testing.assert_array_equal(a, b)
         assert (a < 100).all()
 
+    def test_hash_tokenizer_cross_process_stable(self):
+        """Token ids must not depend on Python's per-process hash salt —
+        inverting in one process and generating in another must condition
+        on the same embeddings (crc32, not hash())."""
+        import zlib
+
+        from vidtome_tpu.models.tokenizer import HashTokenizer
+
+        tok = HashTokenizer(vocab_size=100, max_length=8)
+        ids = tok("hello")
+        assert ids[0, 1] == zlib.crc32(b"hello") % 98
+
 
 class TestLoRA:
     def test_kohya_merge(self):
@@ -159,6 +171,18 @@ class TestLoRA:
             "transformer_blocks_0"]["attn1"]["to_q"]["kernel"])
         expected = orig + 0.5 * (4.0 / 4) * (up @ down).T
         np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+    def test_kohya_time_emb_proj_dotting(self):
+        """'time_emb_proj' must survive intact — the shorter 'proj'
+        substitution used to split it into 'time_emb.proj' so those LoRA
+        tensors were silently skipped."""
+        from vidtome_tpu.models.lora import _kohya_to_dotted
+
+        got = _kohya_to_dotted("lora_unet_down_blocks_0_resnets_0_time_emb_proj")
+        assert got == "down_blocks.0.resnets.0.time_emb_proj"
+        got = _kohya_to_dotted(
+            "lora_unet_up_blocks_1_attentions_2_transformer_blocks_0_ff_net_0_proj")
+        assert got == "up_blocks.1.attentions.2.transformer_blocks.0.ff.net.0.proj"
 
     def test_peft_format(self):
         import jax.numpy as jnp

@@ -31,12 +31,16 @@ def main(argv=None):
     if mesh is not None:
         print(f"[INFO] device mesh: {dict(mesh.shape)}")
 
+    tpu_cfg = config.get("tpu", None)
+    use_pallas = None if tpu_cfg is None else tpu_cfg.get(
+        "use_pallas_attention", None)
+
     print("Start inversion!")
-    inverter = Inverter(bundle, config, mesh=mesh)
+    inverter = Inverter(bundle, config, use_pallas=use_pallas, mesh=mesh)
     inverter(config.input_path, config.inversion.save_path)
 
     print("Start generation!")
-    generator = Generator(bundle, config, mesh=mesh)
+    generator = Generator(bundle, config, use_pallas=use_pallas, mesh=mesh)
     frame_ids = get_frame_ids(config.generation.get("frame_range", None),
                               config.generation.get("frame_ids", None))
     generator(config.input_path, config.generation.latents_path,

@@ -62,7 +62,7 @@ class ControlNetModel(nn.Module):
         return Transformer2D(
             channels=channels, heads=heads, head_dim=head_dim,
             context_dim=self.config.cross_attention_dim,
-            depth=self.config.transformer_depth, downsample=2 ** level,
+            depth=self.config.depth_for(level), downsample=2 ** level,
             use_linear_projection=self.config.use_linear_projection,
             tome=self.tome, dtype=self.dtype, use_pallas=self.use_pallas,
             name=name)

@@ -28,12 +28,14 @@ def _kohya_to_dotted(name: str) -> str:
     """lora_unet_down_blocks_0_attentions_0_... -> down_blocks.0.attentions.0..."""
     name = name[len("lora_unet_"):]
     name = re.sub(r"_(\d+)(?=_|$)", r".\1", name)
-    # module boundaries before known leaf/module names
-    for mod in ("attentions", "resnets", "transformer_blocks", "attn1",
-                "attn2", "ff", "to_q", "to_k", "to_v", "to_out", "net",
-                "proj", "proj_in", "proj_out", "conv1", "conv2", "conv",
-                "time_emb_proj", "downsamplers", "upsamplers"):
-        name = name.replace(f"_{mod}", f".{mod}")
+    # module boundaries before known leaf/module names; longest first so
+    # e.g. "time_emb_proj" is matched before the shorter "proj"/"conv"
+    mods = ("attentions", "resnets", "transformer_blocks", "attn1",
+            "attn2", "ff", "to_q", "to_k", "to_v", "to_out", "net",
+            "proj", "proj_in", "proj_out", "conv1", "conv2", "conv",
+            "time_emb_proj", "downsamplers", "upsamplers")
+    pat = "|".join(sorted(mods, key=len, reverse=True))
+    name = re.sub(rf"_({pat})(?=[._]|$)", r".\1", name)
     return name
 
 

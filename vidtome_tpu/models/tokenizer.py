@@ -20,6 +20,7 @@ import html
 import json
 import os
 import re
+import zlib
 
 import numpy as np
 
@@ -152,7 +153,8 @@ class HashTokenizer:
         for i, p in enumerate(prompts):
             words = _basic_clean(p).split()[: self.max_length - 2]
             ids = [self.bos] + [
-                (hash(w) % (self.vocab_size - 2)) for w in words] + [self.eos]
+                (zlib.crc32(w.encode("utf-8")) % (self.vocab_size - 2))
+                for w in words] + [self.eos]
             out[i, : len(ids)] = ids
         return out
 
