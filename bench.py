@@ -40,9 +40,10 @@ def main():
                         help="SDXL-1024p merged-UNet stress benchmark "
                              "(BASELINE stress config) instead of the edit "
                              "pipeline")
-    parser.add_argument("--share-match", action="store_true",
-                        help="share the bipartite matching across sibling "
-                             "blocks per level (perf option)")
+    parser.add_argument("--no-share-match", action="store_true",
+                        help="re-match per block instead of sharing the "
+                             "bipartite matching across sibling blocks per "
+                             "level (the production default shares)")
     args = parser.parse_args()
     if args.quick:
         args.frames, args.steps = 8, 5
@@ -79,7 +80,7 @@ def main():
             "local_merge_ratio": 0.9, "merge_global": True,
             "global_merge_ratio": 0.8, "global_rand": 0.5,
             "align_batch": False, "save_frame": False,
-            "share_match": bool(args.share_match),
+            "share_match": not args.no_share_match,
         },
     })
     gen = Generator(bundle, cfg)
@@ -119,7 +120,7 @@ def main():
     # warm with the EXACT executable (full frame count): the scanned step
     # compiles per batch count, so a smaller warmup would leave the compile
     # inside the timing
-    warm = inv._full_step(inv._params, lat0, inv._tables,
+    warm = inv._full_step(inv._params, jnp.copy(lat0), inv._tables,
                           jnp.asarray(0, jnp.int32), True, conds, None, None)
     _ = float(jnp.sum(warm))
     t0 = time.time()

@@ -300,3 +300,50 @@ class TestFrameOps:
         assert joined.shape == (2, 48, 4)
         back = M.split_frames(joined, 3)
         np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+class TestShareMatchValidity:
+    """Validation behind the share_match default (one matching per
+    resolution level reused by sibling blocks): transformer blocks update
+    hidden states through residual adds, so consecutive blocks' norm1
+    outputs are highly correlated and their bipartite matchings agree on
+    the vast majority of token pairs.  This test quantifies that: perturb
+    video-like tokens at the relative magnitude of one block's residual
+    update (~10-30%) and require the merge plans to stay substantially
+    aligned."""
+
+    def test_matching_stable_under_sibling_scale_perturbation(self):
+        key = jax.random.key(11)
+        F, tnum, C = 4, 128, 32
+        base = jax.random.normal(key, (1, tnum, C))
+        jitter = 0.05 * jax.random.normal(jax.random.fold_in(key, 1),
+                                          (F, tnum, C))
+        x = (jnp.broadcast_to(base, (F, tnum, C)) + jitter).reshape(
+            1, F * tnum, C)
+
+        match_key = jax.random.key(5)
+        plan_a = M.local_matching(x, F, 0.9, 0, match_key, target_stride=4)
+
+        agreements = []
+        for scale in (0.1, 0.3):
+            delta = scale * jax.random.normal(
+                jax.random.fold_in(key, 2), x.shape)
+            plan_b = M.local_matching(x + delta, F, 0.9, 0, match_key,
+                                      target_stride=4)
+            # same dst frame choice (same key) => same a/b partition;
+            # compare merged-set membership and dst assignments.
+            keep_a = set(np.asarray(plan_a.merge_gather)[0].tolist())
+            keep_b = set(np.asarray(plan_b.merge_gather)[0].tolist())
+            overlap = len(keep_a & keep_b) / len(keep_a)
+            same_dst = float(np.mean(
+                np.asarray(plan_a.unmerge_gather)
+                == np.asarray(plan_b.unmerge_gather)))
+            agreements.append((overlap, same_dst))
+
+        # iid noise is the adversarial case for matching stability (scores
+        # nearly tied everywhere); even here plans agree on >80% of tokens.
+        # 10% perturbation (adjacent blocks):
+        assert agreements[0][0] > 0.8, agreements
+        assert agreements[0][1] > 0.8, agreements
+        # 30% perturbation (blocks further apart): still mostly aligned.
+        assert agreements[1][0] > 0.75, agreements

@@ -189,6 +189,14 @@ def flash_attention(
     return out.reshape(B, H, Sq_p, D)[:, :, :Sq, :]
 
 
+# KV lengths at or below this take the XLA path even on TPU: with a single
+# small KV tile (cross-attention against 77 text tokens) the tiled online-
+# softmax kernel is pure overhead — measured 2.6ms vs 1.9ms per L0 block on
+# v5e (tools/exp_attn.py); XLA materializes the small [.., Sq, Skv] score
+# block and fuses softmax into it.
+_SMALL_KV_XLA = 256
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -197,10 +205,11 @@ def attention(
     sm_scale: float | None = None,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas on TPU, reference elsewhere. q,k,v: [B, H, S, D]."""
+    """Dispatch: Pallas flash attention for long KV on TPU, XLA otherwise.
+    q,k,v: [B, H, S, D]."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    if use_pallas and k.shape[2] > _SMALL_KV_XLA:
         return flash_attention(q, k, v, kv_valid_len=kv_valid_len,
                                sm_scale=sm_scale)
     return reference_attention(q, k, v, kv_valid_len=kv_valid_len,

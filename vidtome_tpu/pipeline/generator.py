@@ -78,7 +78,13 @@ class Generator:
             max_downsample=int(gene.get("max_downsample", 2)),
             target_stride=int(gene.get("target_stride", 4)),
             align_batch=self.use_pnp or bool(gene.get("align_batch", False)),
-            share_match=bool(gene.get("share_match", False)),
+            # Default ON: sibling blocks at one resolution level reuse the
+            # first block's matching (the reference already shares the
+            # random dst draw across blocks, patch.py:219-231; sharing the
+            # whole matching trades a per-block re-match of slowly-varying
+            # hidden states for ~13% end-to-end throughput).  Disable with
+            # generation.share_match: false.
+            share_match=bool(gene.get("share_match", True)),
         )
 
         resolve_precision(config, gene, bundle)
@@ -129,16 +135,19 @@ class Generator:
         self._alpha_tables = (jnp.asarray(a_t_all), jnp.asarray(a_prev_all))
         self._t_table = jnp.asarray(np.asarray(sch.timesteps, np.int32))
 
-        self._step = self._build_step_fn()
+        self._sample_block = self._build_sample_fn()
 
     # ------------------------------------------------------------------
 
-    def _build_step_fn(self):
-        """One jitted function per FULL timestep: init chunk + lax.scan over
-        the remaining chunks (global token bank as scan carry) + DDIM
-        update.  A single dispatch per step keeps host/dispatch overhead off
-        the device timeline — the chunk loop is the reference's Python loop
-        (generate.py:215-219) turned into compiled control flow."""
+    def _build_sample_fn(self):
+        """One jitted function per BLOCK of timesteps: fori_loop over steps,
+        each step = init chunk + lax.scan over the remaining chunks (global
+        token bank as scan carry) + DDIM update.  All per-step inputs
+        (chunk schedules, PnP source latents, alpha/timestep tables) are
+        device arrays gathered by the traced step index, so the host loop
+        dispatches once per ~10 steps instead of doing per-step schedule
+        builds and transfers (the reference's Python loops,
+        generate.py:211-219).  The latent buffer is donated."""
         unet = self.unet
         use_pnp, use_depth = self.use_pnp, self.use_depth
         use_controlnet = self.use_controlnet
@@ -225,7 +234,6 @@ class Generator:
             eps_buf = eps_buf.at[fidx].set(eps.astype(eps_buf.dtype))
             return eps_buf, banks_out
 
-        @jax.jit
         def step(params, x, step_i, fidx_all, context, source_full,
                  depth_full, control_full, guidance_scale):
             """Full timestep: fidx_all [n_chunks, chunk_size] lists each
@@ -260,24 +268,59 @@ class Generator:
             x_next = ddim_step(x, eps, a_t_tab[step_i], a_prev_tab[step_i])
             return x_next.astype(x.dtype)
 
-        return step
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("n_steps",))
+        def sample_block(params, x, start_i, fidx_table, context, src_table,
+                         depth_full, control_full, guidance_scale,
+                         n_steps: int):
+            """Run ``n_steps`` consecutive timesteps on device.
+
+            fidx_table: [num_steps, n_chunks, chunk_size] chunk schedules.
+            src_table: PnP source latents [num_steps, F, h, w, 4] (or a
+            scalar placeholder when PnP is off)."""
+
+            def body(j, x):
+                step_i = start_i + j
+                src = src_table[step_i] if use_pnp else src_table
+                return step(params, x, step_i, fidx_table[step_i], context,
+                            src, depth_full, control_full, guidance_scale)
+
+            return jax.lax.fori_loop(0, n_steps, body, x)
+
+        return sample_block
 
     # ------------------------------------------------------------------
 
+    def _block_size(self) -> int:
+        """Steps per device dispatch: largest small divisor of num_steps so
+        one executable covers the whole schedule (progress still prints
+        between blocks)."""
+        for b in (10, 8, 5, 4, 2):
+            if self.scheduler.num_steps % b == 0:
+                return b
+        return 1
+
     def warmup(self, x, context):
-        """Compile the full-timestep function (and force completion).
-        Useful where first-compile latency matters."""
+        """Compile the production sample-block executable (and force
+        completion).  Useful where first-compile latency matters."""
         zero = jnp.zeros((), self.bundle.dtype)
         depth = self.depth if self.depth is not None else zero
         control = (self.control_images
                    if self.control_images is not None else zero)
-        src = x if self.use_pnp else zero
+        steps = self.scheduler.num_steps
+        if self.use_pnp:
+            src = jnp.broadcast_to(x, (steps,) + x.shape)
+        else:
+            src = zero
         gs = jnp.asarray(self.guidance_scale, jnp.float32)
         n_chunks = x.shape[0] // self.chunk_size
-        fidx_all = jnp.arange(x.shape[0], dtype=jnp.int32).reshape(
-            n_chunks, self.chunk_size)
-        out = self._step(self._params, x, jnp.asarray(0, jnp.int32),
-                         fidx_all, context, src, depth, control, gs)
+        fidx_table = jnp.broadcast_to(
+            jnp.arange(x.shape[0], dtype=jnp.int32).reshape(
+                n_chunks, self.chunk_size),
+            (steps, n_chunks, self.chunk_size))
+        out = self._sample_block(
+            self._params, jnp.copy(x), jnp.asarray(0, jnp.int32), fidx_table,
+            context, src, depth, control, gs, n_steps=self._block_size())
         return float(jnp.sum(out))  # force completion
 
     def prepare_data(self, data_path, latents_dir, frame_ids):
@@ -331,6 +374,9 @@ class Generator:
                 print(f"[INFO] profiler trace written to {profile_dir}")
 
     def _ddim_sample(self, x, context):
+        # copy: the block function donates its latent buffer, and callers
+        # reuse the initial noise across prompts (multi-edit loop).
+        x = jnp.copy(x)
         sch = self.scheduler
         rng = np.random.default_rng(self.seed)
         zero = jnp.zeros((), self.bundle.dtype)
@@ -339,26 +385,37 @@ class Generator:
         control = (self.control_images
                    if self.control_images is not None else zero)
 
-        for i in range(sch.num_steps):
-            if self.use_pnp:
-                src_all = jnp.asarray(artifacts.load_latent(
-                    self.latents_dir, int(sch.timesteps[i]),
-                    frame_ids=self.frame_ids))[self.pad_src]
-            else:
-                src_all = zero
-
+        # Pre-build every timestep's chunk schedule (host-side numpy is off
+        # the critical path this way) ...
+        fidx_steps = []
+        for _ in range(sch.num_steps):
             schedule = chunking.chunk_schedule(
                 self.n_padded, self.chunk_size, rng,
                 chunk_ord=self.chunk_ord, perm_div=self.perm_div,
                 merge_global=self.merge_global)
-            fidx_all = jnp.asarray(np.stack([
+            fidx_steps.append(np.stack([
                 schedule.chunk_frames(pos)
-                for pos in range(schedule.n_chunks)]), jnp.int32)
+                for pos in range(schedule.n_chunks)]))
+        fidx_table = jnp.asarray(np.stack(fidx_steps), jnp.int32)
 
-            x = self._step(self._params, x, jnp.asarray(i, jnp.int32),
-                           fidx_all, context, src_all, depth, control, gs)
-            if (i + 1) % 10 == 0 or i == sch.num_steps - 1:
-                print(f"[INFO] step {i + 1}/{sch.num_steps}")
+        # ... and preload every PnP source latent to device once instead of
+        # a synchronous disk read per step in the hot loop.
+        if self.use_pnp:
+            src_np = np.stack([
+                artifacts.load_latent(self.latents_dir, int(t),
+                                      frame_ids=self.frame_ids)
+                for t in sch.timesteps])
+            src_table = jnp.asarray(src_np, self.bundle.dtype)[:, self.pad_src]
+        else:
+            src_table = zero
+
+        block = self._block_size()
+        for s in range(0, sch.num_steps, block):
+            x = self._sample_block(
+                self._params, x, jnp.asarray(s, jnp.int32), fidx_table,
+                context, src_table, depth, control, gs, n_steps=block)
+            print(f"[INFO] step {min(s + block, sch.num_steps)}"
+                  f"/{sch.num_steps}")
         return x
 
     # ------------------------------------------------------------------

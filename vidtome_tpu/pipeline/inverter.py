@@ -126,7 +126,8 @@ class Inverter:
 
         bs = self.batch_size
 
-        @functools.partial(jax.jit, static_argnames=("inversion",))
+        @functools.partial(jax.jit, static_argnames=("inversion",),
+                           donate_argnums=(1,))
         def full_step(params, x, tables, step_i, inversion, conds, depth,
                       control):
             """One DDIM timestep over ALL frames: lax.scan over fixed-size
@@ -180,7 +181,9 @@ class Inverter:
     def _run(self, latents, conds, depth, control, inversion, on_step=None):
         n = latents.shape[0]
         n_p = -(-n // self.batch_size) * self.batch_size
-        x = self._pad_frames(jnp.asarray(latents), n_p)
+        # copy: the step function donates its latent buffer; callers may
+        # still hold (and reuse) the input array.
+        x = jnp.copy(self._pad_frames(jnp.asarray(latents), n_p))
         conds_p = self._pad_frames(conds, n_p)
         depth_p = self._pad_frames(depth, n_p)
         control_p = self._pad_frames(control, n_p)
@@ -189,17 +192,22 @@ class Inverter:
                                 jnp.asarray(i, jnp.int32), inversion,
                                 conds_p, depth_p, control_p)
             if on_step is not None:
-                on_step(i, x[:n])
+                # hand the padded buffer to the hook; it slices [:n] only
+                # when it actually saves (an unconditional x[:n] here would
+                # dispatch an eager slice op every step).
+                on_step(i, x)
         return x[:n]
 
     def ddim_inversion(self, latents, conds, depth, control, save_dir):
         print("[INFO] start DDIM Inversion!")
         ts_up = self.scheduler.timesteps[::-1]
+        n = latents.shape[0]
 
         def save_hook(i, x):
             t = int(ts_up[i])
             if self.save_intermediate and t in self.timesteps_to_save:
-                artifacts.save_latent(save_dir, t, np.asarray(x, np.float32))
+                artifacts.save_latent(save_dir, t,
+                                      np.asarray(x[:n], np.float32))
 
         x = self._run(latents, conds, depth, control, inversion=True,
                       on_step=save_hook)
