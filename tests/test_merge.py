@@ -347,3 +347,36 @@ class TestShareMatchValidity:
         assert agreements[0][1] > 0.8, agreements
         # 30% perturbation (blocks further apart): still mostly aligned.
         assert agreements[1][0] > 0.75, agreements
+
+
+class TestLenQuantization:
+    def test_quantize_r_values(self):
+        # L0 512p local: S=12288, r=11059, D=4096 -> merged 5325 -> 5120
+        assert M.quantize_r(12288, 11059, 4096, 1024) == 11264
+        # disabled
+        assert M.quantize_r(12288, 11059, 4096, None) == 11059
+        # short sequences untouched (L1: merged 1331 < 4096)
+        assert M.quantize_r(3072, 2764, 1024, 1024) == 2764
+        # never drops more than half the unmerged set
+        assert M.quantize_r(8192, 8192 - 600, 4096, 1024) == 8192 - 600
+
+    def test_local_matching_quantized_length(self):
+        key = jax.random.key(0)
+        F, tnum, C = 4, 4096, 8
+        x = jax.random.normal(key, (1, F * tnum, C), jnp.bfloat16)
+        plan = M.local_matching(x, F, 0.9, 0, key, target_stride=4,
+                                len_quantum=1024)
+        assert plan.merged_len == 5120
+        merged = M.merge(x, plan)
+        back = M.unmerge(merged, plan)
+        assert back.shape == x.shape
+
+    def test_merged_local_len_matches_plan(self):
+        from vidtome_tpu.models.tome import ToMeConfig
+
+        key = jax.random.key(0)
+        cfg = ToMeConfig(frames=4, local_merge_ratio=0.9, len_quantum=1024)
+        x = jax.random.normal(key, (1, 4 * 4096, 8), jnp.bfloat16)
+        merged, _ = M.compute_local_merge(x, 4, 0.9, key, target_stride=4,
+                                          len_quantum=1024)
+        assert merged.shape[1] == cfg.merged_local_len(4096) == 5120

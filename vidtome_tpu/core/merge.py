@@ -212,6 +212,30 @@ def unmerge(y: jnp.ndarray, plan: MergePlan) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def quantize_r(S: int, r: int, D: int, quantum: int | None,
+               min_len: int = 4096) -> int:
+    """Round the merge count ``r`` UP so the merged length ``(S - r) + D``
+    lands on a multiple of ``quantum`` (the attention kernel's tile size).
+
+    At 512p this turns e.g. 5325 merged tokens into 5120: the flash kernel
+    runs 25 instead of 36 tile pairs and needs no KV padding mask — a pure
+    win bought with a slightly higher effective merge ratio (0.9 ->
+    0.9167), bounded by never dropping more than half the unmerged set and
+    never quantizing short sequences (< min_len, where tile padding is
+    cheap relative to semantic loss).  ``None`` disables (exact reference
+    semantics: r = int(S * ratio))."""
+    if not quantum:
+        return r
+    U = S - r
+    M = U + D
+    if M < min_len:
+        return r
+    slack = M % quantum
+    if slack == 0 or U - slack < 0 or (U - slack) * 2 < U:
+        return r
+    return r + slack
+
+
 def _largest_divisor_leq(n: int, k: int) -> int:
     for d in range(min(n, k), 0, -1):
         if n % d == 0:
@@ -237,13 +261,15 @@ def local_matching(
     align_batch: bool = False,
     keep_sorted_indices: bool = False,
     use_fused: bool | None = None,
+    len_quantum: int | None = None,
 ) -> MergePlan | None:
     """One round of random-dst-frame bipartite matching over joined frames.
 
     ``metric``: [B, N, C] with N = unm_pre + F * tnum.  One frame in every
     ``stride`` consecutive frames (chosen by ``key``) becomes dst; all other
     frames are src; the previous unmerged prefix joins dst.  Returns None for
-    a degenerate config (ratio <= 0 or F < 2).
+    a degenerate config (ratio <= 0 or F < 2).  ``len_quantum``: round the
+    merged length down to this multiple (see :func:`quantize_r`).
     """
     B, N, _ = metric.shape
     if ratio <= 0 or F < 2:
@@ -267,6 +293,7 @@ def local_matching(
 
     S = (F - n_dst_frames) * tnum
     r = min(S, int(S * ratio))
+    r = quantize_r(S, r, b_idx.shape[0], len_quantum)
     return _build_plan(
         metric,
         jnp.broadcast_to(a_idx, (B, S)),
@@ -297,6 +324,7 @@ def compute_local_merge(
     target_stride: int = 4,
     align_batch: bool = False,
     mode: str = "replace",
+    len_quantum: int | None = None,
 ) -> tuple[jnp.ndarray, list[MergePlan]]:
     """Recursively merge F joined frames down to one set
     (reference: patch.py:44-56).  Returns (merged_tokens, plans); undo with
@@ -309,7 +337,7 @@ def compute_local_merge(
         plan = local_matching(
             tokens, curF, ratio, unm, sub,
             target_stride=target_stride, align_batch=align_batch,
-            keep_sorted_indices=keep_sorted,
+            keep_sorted_indices=keep_sorted, len_quantum=len_quantum,
         )
         if plan is None:
             break
@@ -337,6 +365,7 @@ def two_set_matching(
     align_batch: bool = False,
     keep_sorted_indices: bool = False,
     use_fused: bool | None = None,
+    len_quantum: int | None = None,
 ) -> MergePlan | None:
     """Match the first ``src_len`` tokens (src) against the rest (dst).
 
@@ -350,6 +379,7 @@ def two_set_matching(
     S = src_len
     D = N - src_len
     r = min(S, int(S * ratio))
+    r = quantize_r(S, r, D, len_quantum)
     a_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     b_idx = jnp.broadcast_to(S + jnp.arange(D, dtype=jnp.int32), (B, D))
     return _build_plan(metric, a_idx, b_idx, r, align_batch,

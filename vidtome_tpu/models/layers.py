@@ -259,6 +259,7 @@ class TransformerBlock(nn.Module):
                     joined, F, cfg.local_merge_ratio, key_local,
                     target_stride=cfg.target_stride,
                     align_batch=cfg.align_batch, mode=cfg.merge_mode,
+                    len_quantum=cfg.len_quantum,
                 )
                 tokens = local_tokens
             global_plan = None
@@ -289,6 +290,7 @@ class TransformerBlock(nn.Module):
                             ratio=cfg.global_merge_ratio,
                             align_batch=cfg.align_batch,
                             keep_sorted_indices=cfg.merge_mode != "replace",
+                            len_quantum=cfg.len_quantum,
                         )
                         if cache is not None:
                             cache.setdefault(cache_key, {})[

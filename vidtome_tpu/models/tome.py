@@ -38,10 +38,18 @@ class ToMeConfig:
                                      # reuse the plan in sibling blocks
                                      # (perf option; the reference matches
                                      # per block — documented deviation)
+    len_quantum: int | None = 1024   # round merged lengths down to this
+                                     # multiple (the flash kernel's tile
+                                     # size) so long merged sequences carry
+                                     # no tile padding or KV mask; bounded
+                                     # slight increase of the effective
+                                     # merge ratio (core/merge.quantize_r).
+                                     # None = exact r = int(S * ratio).
 
     def merged_local_len(self, tokens_per_frame: int) -> int:
         """Static length of the locally-merged sequence for one chunk."""
-        from vidtome_tpu.core.merge import _round_stride, local_merge_rounds
+        from vidtome_tpu.core.merge import (_round_stride, local_merge_rounds,
+                                            quantize_r)
 
         n = self.frames * tokens_per_frame
         unm = 0
@@ -52,6 +60,7 @@ class ToMeConfig:
             tnum = (cur_tokens - unm) // curF
             S = (curF - n_dst) * tnum
             r = min(S, int(S * self.local_merge_ratio))
+            r = quantize_r(S, r, n_dst * tnum + unm, self.len_quantum)
             unm_round = S - r
             cur_tokens = unm_round + n_dst * tnum + unm
             unm += unm_round

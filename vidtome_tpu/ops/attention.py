@@ -57,7 +57,7 @@ def reference_attention(
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  sm_scale: float, kv_len: int, block_k: int,
+                  kv_len: int, block_k: int,
                   num_kv_tiles: int, needs_mask: bool):
     kv_idx = pl.program_id(2)
 
@@ -67,12 +67,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # [block_q, D]
+    q = q_ref[0]  # [block_q, D] — sm_scale pre-folded into q by the caller
     k = k_ref[0]  # [block_k, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale  # [block_q, block_k]
+    )  # [block_q, block_k]
 
     # Mask padded/invalid KV columns (static kv_len baked per compile).
     # When kv_len covers the whole padded sequence the mask compiles away.
@@ -145,6 +145,9 @@ def flash_attention(
     Sq_p = _round_up(Sq, block_q)
     Skv_p = _round_up(Skv, block_k)
 
+    # Fold the softmax scale into q: one cheap [Sq, D] pass instead of a
+    # full [block_q, block_k] multiply in every kernel tile.
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
@@ -158,7 +161,6 @@ def flash_attention(
 
     kernel = functools.partial(
         _flash_kernel,
-        sm_scale=sm_scale,
         kv_len=kv_len,
         block_k=block_k,
         num_kv_tiles=num_kv_tiles,

@@ -85,6 +85,10 @@ class Generator:
             # hidden states for ~13% end-to-end throughput).  Disable with
             # generation.share_match: false.
             share_match=bool(gene.get("share_match", True)),
+            # Merged lengths round down to the attention tile size so long
+            # merged sequences carry no pad mask (core/merge.quantize_r);
+            # generation.len_quantum: null restores exact r = int(S*ratio).
+            len_quantum=gene.get("len_quantum", 1024),
         )
 
         resolve_precision(config, gene, bundle)
