@@ -202,9 +202,14 @@ def main():
     # Timed run: full generation + decode, forced completion.
     t0 = time.time()
     clean = gen.ddim_sample(latents, context)
+    _ = float(jnp.sum(clean))
+    t_sample = time.time() - t0
     frames_out = gen.vae.decode(clean[: args.frames])
     checksum = float(jnp.sum(frames_out))  # forces full execution
     elapsed = time.time() - t0
+    print(f"[bench] sample loop {t_sample:.2f}s "
+          f"({t_sample / args.steps * 1e3:.0f}ms/step), "
+          f"decode {elapsed - t_sample:.2f}s", file=sys.stderr)
     fps = args.frames / elapsed
 
     # Roofline: XLA-attributed FLOPs of ONE chunk forward (cost analysis

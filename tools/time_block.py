@@ -1,0 +1,103 @@
+"""Measure the production sample-block executable directly: where does the
+per-step time go vs the isolated chunk-forward microbenchmark?
+
+Times (a) one 10-step block dispatch, (b) VAE decode of the full clip,
+(c) one isolated merge-mode chunk forward for reference.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/time_block.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vidtome_tpu.runtime import setup_compilation_cache
+
+setup_compilation_cache()
+
+from vidtome_tpu.config import Config
+from vidtome_tpu.core import chunk as chunking
+from vidtome_tpu.models.registry import init_model
+from vidtome_tpu.pipeline.generator import Generator
+
+
+def main():
+    frames, steps, size = 32, 50, 512
+    latent = size // 8
+    bundle = init_model(sd_version="1.5", weight_dtype="bf16")
+    cfg = Config({
+        "sd_version": "1.5", "height": size, "width": size,
+        "seed": 123, "work_dir": "/tmp/bench", "float_precision": "bf16",
+        "generation": {
+            "control": "none", "guidance_scale": 7.5,
+            "n_timesteps": steps, "negative_prompt": "ugly, blurry",
+            "prompt": {"edit": "benchmark prompt"},
+            "latents_path": "/tmp/bench", "output_path": "/tmp/bench",
+            "chunk_size": 4, "chunk_ord": "mix-4",
+            "local_merge_ratio": 0.9, "merge_global": True,
+            "global_merge_ratio": 0.8, "global_rand": 0.5,
+            "align_batch": False, "save_frame": False,
+        },
+    })
+    gen = Generator(bundle, cfg)
+    gen.n_frames = frames
+    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(frames, 4)
+    gen.depth = None
+    gen.control_images = None
+    latents = jax.random.normal(
+        jax.random.key(0), (gen.n_padded, latent, latent, 4), jnp.bfloat16)
+    context = gen.text.embed_cfg("a benchmark prompt", "ugly, blurry")
+
+    t0 = time.time()
+    gen.warmup(latents, context)
+    print(f"warmup {time.time()-t0:.1f}s")
+
+    # one block of block_size steps, exactly as _ddim_sample does
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    fidx_steps = []
+    for _ in range(steps):
+        sch = chunking.chunk_schedule(gen.n_padded, 4, rng, chunk_ord="mix",
+                                      perm_div=4.0, merge_global=True)
+        fidx_steps.append(np.stack([sch.chunk_frames(p)
+                                    for p in range(sch.n_chunks)]))
+    fidx_table = jnp.asarray(np.stack(fidx_steps), jnp.int32)
+    zero = jnp.zeros((), jnp.bfloat16)
+    gs = jnp.asarray(7.5, jnp.float32)
+    block = gen._block_size()
+
+    x = jnp.copy(latents)
+    # warm the exact executable
+    x = gen._sample_block(gen._params, x, jnp.asarray(0, jnp.int32),
+                          fidx_table, context, zero, zero, zero, gs,
+                          n_steps=block)
+    _ = float(jnp.sum(x))
+
+    t0 = time.time()
+    n_blocks = 0
+    for s in range(0, 30, block):
+        x = gen._sample_block(gen._params, x, jnp.asarray(s, jnp.int32),
+                              fidx_table, context, zero, zero, zero, gs,
+                              n_steps=block)
+        n_blocks += 1
+    _ = float(jnp.sum(x))
+    per_block = (time.time() - t0) / n_blocks
+    print(f"block({block} steps): {per_block*1e3:.1f}ms "
+          f"=> {per_block/block*1e3:.1f}ms/step "
+          f"=> {frames/(per_block/block)/steps:.3f} frames/s equiv")
+
+    # decode cost
+    dec = gen.vae.decode(latents[:4])
+    _ = float(jnp.sum(dec))
+    t0 = time.time()
+    dec = gen.vae.decode(latents[:frames])
+    _ = float(jnp.sum(dec))
+    print(f"vae decode {frames} frames: {time.time()-t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

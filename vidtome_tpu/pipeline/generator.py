@@ -454,3 +454,16 @@ class Generator:
             save_video(frames, cur_out, save_frame=self.save_frame)
             outputs[edit_name] = frames
         return outputs
+
+
+def main(argv=None):
+    """Standalone generation stage (reference generate.py:365-375); requires
+    a prior inversion run to have cached the latents."""
+    from vidtome_tpu.cli import run_generation, setup_from_argv
+
+    config, bundle, mesh, use_pallas = setup_from_argv(argv)
+    run_generation(config, bundle, mesh, use_pallas)
+
+
+if __name__ == "__main__":
+    main()

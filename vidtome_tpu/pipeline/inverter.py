@@ -272,3 +272,15 @@ class Inverter:
                         os.path.join(save_dir, "recon_frames"),
                         frame_ids=frame_ids)
         return inverted
+
+
+def main(argv=None):
+    """Standalone inversion stage (reference invert.py:282-289)."""
+    from vidtome_tpu.cli import run_inversion, setup_from_argv
+
+    config, bundle, mesh, use_pallas = setup_from_argv(argv)
+    run_inversion(config, bundle, mesh, use_pallas)
+
+
+if __name__ == "__main__":
+    main()
