@@ -355,8 +355,11 @@ class TestLenQuantization:
         assert M.quantize_r(12288, 11059, 4096, 1024) == 11264
         # disabled
         assert M.quantize_r(12288, 11059, 4096, None) == 11059
-        # short sequences untouched (L1: merged 1331 < 4096)
-        assert M.quantize_r(3072, 2764, 1024, 1024) == 2764
+        # mid-length (L1: merged 1332): effective quantum shrinks to 256
+        # -> 1332 lands on 1280, a mask-free 256-multiple
+        assert M.quantize_r(3072, 2764, 1024, 1024) == 2764 + 52
+        # sequences below min_len untouched
+        assert M.quantize_r(768, 691, 256, 1024) == 691
         # never drops more than half the unmerged set
         assert M.quantize_r(8192, 8192 - 600, 4096, 1024) == 8192 - 600
 
@@ -380,3 +383,29 @@ class TestLenQuantization:
         merged, _ = M.compute_local_merge(x, 4, 0.9, key, target_stride=4,
                                           len_quantum=1024)
         assert merged.shape[1] == cfg.merged_local_len(4096) == 5120
+
+
+class TestStructuredMerge:
+    def test_structured_equals_plain_gather(self):
+        """The slice-based replace merge must match the raw merge_gather
+        path bit-for-bit (local multi-run + global single-run + prefix)."""
+        key = jax.random.key(3)
+        x = jax.random.normal(key, (2, 8 * 64, 16), jnp.float32)
+        # two rounds: F=8 stride 4 -> 2 dst frames, then unm_pre > 0
+        tokens, plans = M.compute_local_merge(x, 8, 0.7, key,
+                                              target_stride=4)
+        cur = x
+        for p in plans:
+            assert p.dst_run_len is not None
+            structured = M.merge(cur, p)
+            plain = jnp.take_along_axis(cur, p.merge_gather[..., None],
+                                        axis=1)
+            np.testing.assert_array_equal(np.asarray(structured),
+                                          np.asarray(plain))
+            cur = structured
+        cat = jnp.concatenate([tokens, tokens[:, ::-1]], axis=1)
+        gp = M.two_set_matching(cat, src_len=tokens.shape[1], ratio=0.6)
+        structured = M.merge(cat, gp)
+        plain = jnp.take_along_axis(cat, gp.merge_gather[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(structured),
+                                      np.asarray(plain))

@@ -58,6 +58,16 @@ class MergePlan(NamedTuple):
     src_idx: jnp.ndarray | None
     dst_idx: jnp.ndarray | None
     unm_idx: jnp.ndarray
+    # Structured-dst metadata (set by the matchers whose dst set is made of
+    # contiguous token runs — the production local/global matchers).  When
+    # present, replace-mode ``merge`` gathers only the (small) kept-src set
+    # by row and reads each dst run with a dynamic slice: random row access
+    # on TPU costs ~300ns/row regardless of formulation (measured:
+    # take_along_axis == Pallas row-loop == one-hot matmul), so shrinking
+    # the gathered row count IS the optimization.
+    dst_starts: jnp.ndarray | None = None   # [n_runs] run start positions
+    dst_run_len: int | None = None          # static tokens per run
+    dst_prefix: int | None = None           # static trailing prefix length
 
     @property
     def unm_num(self) -> int:
@@ -179,9 +189,24 @@ def _build_plan(
 def merge(x: jnp.ndarray, plan: MergePlan, mode: str = "replace") -> jnp.ndarray:
     """Apply a merge plan: [B, N, C] -> [B, U + D, C].
 
-    ``replace`` (the reference default) is one gather.  ``mean`` additionally
+    ``replace`` (the reference default) is one gather — or, when the plan
+    carries structured-dst metadata, a small kept-row gather plus
+    contiguous dynamic slices for the dst runs (far cheaper: row-gather
+    bandwidth on TPU is ~60x below sequential DMA).  ``mean`` additionally
     averages each dst token with all src tokens assigned to it
     (reference: merge.py:127-131, scatter_reduce 'mean' include_self)."""
+    # Structured path only when the run metadata is still static Python
+    # ints: a plan that crossed a jit boundary has traced metadata (jit
+    # flattens NamedTuple leaves) — fall back to the single gather then.
+    if mode == "replace" and isinstance(plan.dst_run_len, int):
+        U = plan.unm_num
+        parts = [_take(x, plan.merge_gather[:, :U])]
+        for i in range(plan.dst_starts.shape[0]):
+            parts.append(jax.lax.dynamic_slice_in_dim(
+                x, plan.dst_starts[i], plan.dst_run_len, axis=1))
+        if plan.dst_prefix:
+            parts.append(x[:, : plan.dst_prefix])
+        return jnp.concatenate(parts, axis=1)
     out = _take(x, plan.merge_gather)
     if mode == "replace":
         return out
@@ -213,24 +238,28 @@ def unmerge(y: jnp.ndarray, plan: MergePlan) -> jnp.ndarray:
 
 
 def quantize_r(S: int, r: int, D: int, quantum: int | None,
-               min_len: int = 4096) -> int:
+               min_len: int = 1024) -> int:
     """Round the merge count ``r`` UP so the merged length ``(S - r) + D``
-    lands on a multiple of ``quantum`` (the attention kernel's tile size).
+    lands on a multiple of the attention kernel's tile size.
 
     At 512p this turns e.g. 5325 merged tokens into 5120: the flash kernel
     runs 25 instead of 36 tile pairs and needs no KV padding mask — a pure
     win bought with a slightly higher effective merge ratio (0.9 ->
     0.9167), bounded by never dropping more than half the unmerged set and
     never quantizing short sequences (< min_len, where tile padding is
-    cheap relative to semantic loss).  ``None`` disables (exact reference
-    semantics: r = int(S * ratio))."""
+    cheap relative to semantic loss).  Below 4x the quantum the effective
+    quantum shrinks to quantum/4 (>=256): mid-resolution merged lengths
+    (e.g. 1332 at L1) land on a 256-multiple so the kernel picks a smaller
+    mask-free block instead of padding 1332 -> 2048 with a mask.  ``None``
+    disables (exact reference semantics: r = int(S * ratio))."""
     if not quantum:
         return r
     U = S - r
     M = U + D
     if M < min_len:
         return r
-    slack = M % quantum
+    q = quantum if M >= 4 * quantum else max(quantum // 4, 256)
+    slack = M % q
     if slack == 0 or U - slack < 0 or (U - slack) * 2 < U:
         return r
     return r + slack
@@ -294,7 +323,7 @@ def local_matching(
     S = (F - n_dst_frames) * tnum
     r = min(S, int(S * ratio))
     r = quantize_r(S, r, b_idx.shape[0], len_quantum)
-    return _build_plan(
+    plan = _build_plan(
         metric,
         jnp.broadcast_to(a_idx, (B, S)),
         jnp.broadcast_to(b_idx, (B, b_idx.shape[0])),
@@ -303,6 +332,11 @@ def local_matching(
         keep_sorted_indices=keep_sorted_indices,
         use_fused=use_fused,
     )
+    # dst = whole frames (+ the prefix): contiguous runs, shared across the
+    # batch — record them so replace-mode merge can slice instead of gather.
+    return plan._replace(
+        dst_starts=unm_pre + dst_frames.astype(jnp.int32) * tnum,
+        dst_run_len=tnum, dst_prefix=unm_pre)
 
 
 def local_merge_rounds(F: int, target_stride: int) -> list[int]:
@@ -382,9 +416,12 @@ def two_set_matching(
     r = quantize_r(S, r, D, len_quantum)
     a_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     b_idx = jnp.broadcast_to(S + jnp.arange(D, dtype=jnp.int32), (B, D))
-    return _build_plan(metric, a_idx, b_idx, r, align_batch,
+    plan = _build_plan(metric, a_idx, b_idx, r, align_batch,
                        keep_sorted_indices=keep_sorted_indices,
                        use_fused=use_fused)
+    # dst = the whole second partition: one contiguous run.
+    return plan._replace(dst_starts=jnp.asarray([S], jnp.int32),
+                         dst_run_len=D, dst_prefix=0)
 
 
 def partition(x_full: jnp.ndarray, src_len: int, chunk: jnp.ndarray | int) -> jnp.ndarray:

@@ -57,7 +57,8 @@ def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
     if name == "gelu":
-        return nn.gelu
+        # exact (erf) gelu — transformers' ACT2FN["gelu"], not tanh-approx
+        return lambda x: nn.gelu(x, approximate=False)
     raise ValueError(name)
 
 

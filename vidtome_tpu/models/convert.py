@@ -135,11 +135,13 @@ def convert_unet(state: dict[str, np.ndarray]) -> dict[str, Any]:
 _VAE_RULES = [
     (r"^(encoder|decoder)\.down_blocks\.(\d+)\.resnets\.(\d+)\.",
      r"\1.down_\2_resnets_\3."),
-    (r"^(encoder|decoder)\.down_blocks\.(\d+)\.downsamplers\.0\.",
+    # the flax VAE names the down/up-sampler nn.Conv directly (no inner
+    # "conv" child, unlike the UNet's Downsample2D) — consume the ".conv"
+    (r"^(encoder|decoder)\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.",
      r"\1.down_\2_downsample."),
     (r"^(encoder|decoder)\.up_blocks\.(\d+)\.resnets\.(\d+)\.",
      r"\1.up_\2_resnets_\3."),
-    (r"^(encoder|decoder)\.up_blocks\.(\d+)\.upsamplers\.0\.",
+    (r"^(encoder|decoder)\.up_blocks\.(\d+)\.upsamplers\.0\.conv\.",
      r"\1.up_\2_upsample."),
     (r"^(encoder|decoder)\.mid_block\.resnets\.(\d+)\.",
      r"\1.mid_resnets_\2."),

@@ -194,7 +194,9 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # exact (erf) gelu: diffusers GEGLU uses F.gelu, not the tanh
+        # approximation — keeps converted checkpoints numerically faithful
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 

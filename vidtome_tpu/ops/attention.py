@@ -56,15 +56,20 @@ def reference_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  kv_len: int, block_k: int,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
+                  kv_len: int, block_k: int, head_dim: int,
                   num_kv_tiles: int, needs_mask: bool):
+    """Online-softmax tile.  ``v_ref`` carries an appended ones column
+    (``head_dim + 1`` lanes): the PV matmul then accumulates the softmax
+    row sums on the MXU for free, replacing a VPU lane-reduction over the
+    whole [block_q, block_k] probability tile (the kernel is VPU/VMEM
+    bound at SD head dims, so every vector pass over the score tile
+    counts)."""
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]  # [block_q, D] — sm_scale pre-folded into q by the caller
@@ -82,25 +87,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_scr[...]  # [block_q, 128] (lanes equal)
-    l_prev = l_scr[...]
     m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
     alpha = jnp.exp(m_prev - m_next)  # [block_q, 128]
-
-    p = jnp.exp(s - jnp.broadcast_to(m_next[:, :1], s.shape))  # [block_q, block_k]
-    l_scr[...] = alpha * l_prev + jnp.broadcast_to(
-        jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
     m_scr[...] = m_next
 
-    v = v_ref[0]  # [block_k, D]
+    p = jnp.exp(s - jnp.broadcast_to(m_next[:, :1], s.shape))
+    v = v_ref[0]  # [block_k, D + 1] (last column = ones)
     pv = jax.lax.dot(p.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)  # [block_q, D]
+                     preferred_element_type=jnp.float32)  # [block_q, D + 1]
     acc_scr[...] = acc_scr[...] * jnp.broadcast_to(
         alpha[:, :1], acc_scr.shape) + pv
 
     @pl.when(kv_idx == num_kv_tiles - 1)
     def _store():
-        l = l_scr[...][:, :1]
+        l = acc_scr[...][:, head_dim:head_dim + 1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * jnp.broadcast_to(l_inv, acc_scr.shape)
                     ).astype(o_ref.dtype)
@@ -132,16 +133,23 @@ def flash_attention(
     """
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
-    if block_q is None:
-        block_q = 1024
-    if block_k is None:
-        block_k = 1024
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
     kv_len = Skv if kv_valid_len is None else kv_valid_len
 
-    block_q = min(block_q, _round_up(Sq, 128))
-    block_k = min(block_k, _round_up(Skv, 128))
+    # Pick blocks that DIVIDE the sequence when possible: the merge engine
+    # quantizes merged lengths (core/merge.quantize_r) exactly so the
+    # kernel can run mask- and pad-free.  1024 is the measured v5e sweet
+    # spot; fall back to smaller divisors before padding.
+    def pick_block(S, requested):
+        cap = requested or 1024
+        for b in (1024, 512, 256):
+            if b <= cap and S % b == 0:
+                return b
+        return min(cap, _round_up(S, 128))
+
+    block_q = pick_block(Sq, block_q)
+    block_k = pick_block(Skv, block_k)
     Sq_p = _round_up(Sq, block_q)
     Skv_p = _round_up(Skv, block_k)
 
@@ -150,11 +158,15 @@ def flash_attention(
     q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
+    # ones column on v: PV accumulates softmax row sums on the MXU
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 1)),
+                 constant_values=1.0)
+    if Skv_p > Skv:  # padded KV rows must not contribute to the row sums
+        vp = vp.at[:, :, Skv:, D].set(0.0)
 
     qf = qp.reshape(B * H, Sq_p, D)
     kf = kp.reshape(B * H, Skv_p, D)
-    vf = vp.reshape(B * H, Skv_p, D)
+    vf = vp.reshape(B * H, Skv_p, D + 1)
 
     num_kv_tiles = Skv_p // block_k
     grid = (B * H, Sq_p // block_q, num_kv_tiles)
@@ -163,24 +175,25 @@ def flash_attention(
         _flash_kernel,
         kv_len=kv_len,
         block_k=block_k,
+        head_dim=D,
         num_kv_tiles=num_kv_tiles,
         needs_mask=kv_len < Skv_p,
     )
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, D + 1), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D + 1), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, D + 1),
+                               lambda b, i, j: (b, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
-            pltpu.VMEM((block_q, D), jnp.float32),    # output accumulator
+            pltpu.VMEM((block_q, 128), jnp.float32),     # running max
+            pltpu.VMEM((block_q, D + 1), jnp.float32),   # out acc | row sum
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -188,7 +201,7 @@ def flash_attention(
         interpret=interpret,
     )(qf, kf, vf)
 
-    return out.reshape(B, H, Sq_p, D)[:, :, :Sq, :]
+    return out.reshape(B, H, Sq_p, D + 1)[:, :, :Sq, :D]
 
 
 # KV lengths at or below this take the XLA path even on TPU: with a single
