@@ -371,3 +371,50 @@ class TestConverterRewrites:
         assert tree["layers_0"]["fc1"]["kernel"].shape == (32, 64)
         assert tree["layers_0"]["layer_norm1"]["scale"].shape == (32,)
         assert tree["final_layer_norm"]["scale"].shape == (32,)
+
+
+class TestLDMVariantMerging:
+    """merge_crossattn / merge_ff (reference LDM ToMeBlock, patch.py:104-114)."""
+
+    def _run(self, merge_crossattn, merge_ff, x, ctx):
+        import jax
+
+        from tests.helpers import make_tiny_bundle
+        from vidtome_tpu.models.tome import ToMeCall, ToMeConfig
+
+        bundle = make_tiny_bundle()
+        tome = ToMeConfig(frames=4, local_merge_ratio=0.9,
+                          merge_crossattn=merge_crossattn, merge_ff=merge_ff)
+        unet = bundle.make_unet(tome=tome)
+        return unet.apply(
+            {"params": bundle.unet_params}, x, jnp.asarray(3), ctx,
+            tome_call=ToMeCall(key=jax.random.key(5), bank_mode="off"),
+            num_lanes=2)
+
+    def test_identical_frames_match_baseline_exactly(self):
+        """With all frames identical, every merged-away token's dst holds
+        its own value, so running attn2/ff on the merged sequence must give
+        the same result as the unmerged path (per-token ops commute with
+        the unmerge gather)."""
+        import jax
+
+        frame = jax.random.normal(jax.random.key(0), (2, 1, 16, 16, 4),
+                                  jnp.float32)
+        x = jnp.broadcast_to(frame, (2, 4, 16, 16, 4)).reshape(8, 16, 16, 4)
+        ctx = jnp.repeat(jax.random.normal(jax.random.key(1), (2, 8, 32),
+                                           jnp.float32), 4, axis=0)
+        base = self._run(False, False, x, ctx)
+        ldm = self._run(True, True, x, ctx)
+        np.testing.assert_allclose(np.asarray(ldm), np.asarray(base),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_distinct_frames_differ_but_finite(self):
+        import jax
+
+        x = jax.random.normal(jax.random.key(2), (8, 16, 16, 4), jnp.float32)
+        ctx = jnp.repeat(jax.random.normal(jax.random.key(3), (2, 8, 32),
+                                           jnp.float32), 4, axis=0)
+        base = self._run(False, False, x, ctx)
+        ldm = self._run(True, True, x, ctx)
+        assert np.isfinite(np.asarray(ldm)).all()
+        assert np.abs(np.asarray(ldm) - np.asarray(base)).max() > 1e-6

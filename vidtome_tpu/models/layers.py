@@ -233,6 +233,7 @@ class TransformerBlock(nn.Module):
             and self.downsample <= cfg.max_downsample
             and cfg.frames > 1
         )
+        plans: list = []
 
         norm_x = _layer_norm(x, "norm1")
 
@@ -338,15 +339,39 @@ class TransformerBlock(nn.Module):
 
         x = x + attn_out
 
-        h = _layer_norm(x, "norm2")
-        x = x + CrossAttention(
+        # LDM-variant merging (reference make_tome_block wraps attn2 and ff
+        # with the same merge/unmerge, patch.py:104-114; opt-in here since
+        # the diffusers path the pipeline uses wraps only attn1): reuse the
+        # LOCAL plans — the global bank stays an attn1-only concern.
+        def merge_local(t):
+            j = merge_ops.join_frames(t, cfg.frames)
+            for p in plans:
+                j = merge_ops.merge(j, p, cfg.merge_mode)
+            return j
+
+        def unmerge_local(t):
+            return merge_ops.split_frames(
+                merge_ops.unmerge_all(t, plans), cfg.frames)
+
+        attn2 = CrossAttention(
             query_dim=self.dim, heads=self.heads, head_dim=self.head_dim,
             context_dim=self.context_dim, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn2",
-        )(h, context=context)
+            use_pallas=self.use_pallas, name="attn2")
+        h = _layer_norm(x, "norm2")
+        if do_merge and cfg.merge_crossattn and plans:
+            # context rows are lane-major repeated per frame: one row per
+            # joined lane is context[::frames]
+            x = x + unmerge_local(
+                attn2(merge_local(h), context=context[:: cfg.frames]))
+        else:
+            x = x + attn2(h, context=context)
 
+        ff = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")
         h = _layer_norm(x, "norm3")
-        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        if do_merge and cfg.merge_ff and plans:
+            x = x + unmerge_local(ff(merge_local(h)))
+        else:
+            x = x + ff(h)
         return x
 
 

@@ -38,6 +38,17 @@ class ToMeConfig:
                                      # reuse the plan in sibling blocks
                                      # (perf option; the reference matches
                                      # per block — documented deviation)
+    merge_crossattn: bool = False    # also run cross-attention on the
+                                     # locally-merged sequence (the
+                                     # reference's LDM-path ToMeBlock wraps
+                                     # attn2 too, patch.py:104-114; its
+                                     # diffusers path — our default — does
+                                     # not).  ~3x fewer attn2 FLOPs at
+                                     # merged levels; merged-away tokens
+                                     # take their dst's output.
+    merge_ff: bool = False           # same for the feed-forward (LDM-path
+                                     # ToMeBlock wraps ff, patch.py:113) —
+                                     # the biggest FLOP lever after attn1.
     len_quantum: int | None = 1024   # round merged lengths down to this
                                      # multiple (the flash kernel's tile
                                      # size) so long merged sequences carry

@@ -89,6 +89,10 @@ class Generator:
             # merged sequences carry no pad mask (core/merge.quantize_r);
             # generation.len_quantum: null restores exact r = int(S*ratio).
             len_quantum=gene.get("len_quantum", 1024),
+            # Opt-in LDM-variant merging (reference patch.py:104-114): also
+            # run cross-attention / feed-forward on the merged sequence.
+            merge_crossattn=bool(gene.get("merge_crossattn", False)),
+            merge_ff=bool(gene.get("merge_ff", False)),
         )
 
         resolve_precision(config, gene, bundle)
