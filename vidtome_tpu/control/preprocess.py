@@ -8,10 +8,13 @@ pipeline, and never touch the TPU hot path.
   tile           down/up resample blur
   ip2p           identity
   depth          DPT depth (3-channel) via control/depth.py
-  softedge       controlnet_aux HED if importable, else Sobel-magnitude
-                 fallback (warned)
+  softedge       native Flax HED (control/edge_hed.py, enabled by
+                 VIDTOME_HED_MODEL) > controlnet_aux if importable >
+                 Sobel-magnitude fallback (warned)
   lineart_anime  controlnet_aux if importable, else inverted-edge fallback
-  openpose       controlnet_aux only (no meaningful cv2 fallback)
+  openpose       controlnet_aux only (no meaningful cv2 fallback); use
+                 ``validate_control_available`` to fail BEFORE the
+                 expensive stages rather than mid-pipeline
 """
 
 from __future__ import annotations
@@ -89,12 +92,22 @@ def _try_aux(processor_id: str, images: np.ndarray) -> np.ndarray | None:
 
 def softedge_preprocess(images: np.ndarray, proc: str = "pidsafe",
                         **_) -> np.ndarray:
+    from vidtome_tpu.control import edge_hed
+
+    hed = edge_hed.hed_model_path()
+    if hed is not None:
+        # Native Flax HED (documented deviation: the reference's default
+        # softedge processor is PiDiNet via controlnet_aux; HED is the
+        # classic softedge model and feeds the same ControlNet).  The
+        # *safe variants quantize the edge map to coarse steps.
+        return edge_hed.hed_edges(images, hed, safe=proc.endswith("safe"))
     aux = _try_aux(f"softedge_{proc}", images)
     if aux is not None:
         return aux
     if "softedge" not in _aux_warned:
-        print("[WARNING] controlnet_aux unavailable — softedge falls back "
-              "to Sobel magnitude (approximate)")
+        print("[WARNING] no HED checkpoint (set VIDTOME_HED_MODEL) and no "
+              "controlnet_aux — softedge falls back to Sobel magnitude "
+              "(approximate)")
         _aux_warned.add("softedge")
     return np.stack([np.stack([_sobel_edges(i)] * 3, -1) for i in images])
 
@@ -139,3 +152,25 @@ def control_preprocess(images: np.ndarray, control_type: str,
         raise KeyError(f"unknown control type {control_type!r}; "
                        f"choices: {sorted(PREPROCESS_DICT)}")
     return PREPROCESS_DICT[control_type](np.asarray(images), **kwargs)
+
+
+def validate_control_available(control_type: str) -> None:
+    """Fail FAST for control types whose preprocessor cannot run, instead
+    of raising mid-pipeline after minutes of inversion (the pipelines call
+    this at construction).  Only openpose is hard-gated: it needs a pose
+    model (controlnet_aux) and has no meaningful classical fallback; the
+    other types always produce something (exact or warned-approximate)."""
+    if control_type != "openpose":
+        return
+    try:
+        import controlnet_aux  # noqa: F401
+        return
+    except ImportError:
+        pass
+    raise RuntimeError(
+        "control: openpose requires the controlnet_aux package with its "
+        "pose model, which is not installed.  There is no classical "
+        "fallback for pose estimation — choose another control type "
+        "(canny/softedge/depth/tile/ip2p/lineart_anime) or install "
+        "controlnet_aux.  Failing now, before inversion, so no compute "
+        "is wasted.")

@@ -58,6 +58,11 @@ class Generator:
         self.work_dir = config.work_dir
 
         self.control = gene.get("control", "none")
+        if self.control not in ("none", "pnp"):
+            from vidtome_tpu.control.preprocess import \
+                validate_control_available
+
+            validate_control_available(self.control)
         self.use_depth = bundle.use_depth
         self.use_controlnet = self.control in CONTROLNET_DICT
         self.use_pnp = self.control == "pnp"

@@ -56,6 +56,11 @@ class Inverter:
                   "but not implemented (the reference never implements it "
                   "either); supply inversion.prompt directly")
         self.control = inv.get("control", "none")
+        if self.control not in ("none", "pnp"):
+            from vidtome_tpu.control.preprocess import \
+                validate_control_available
+
+            validate_control_available(self.control)
         self.control_scale = float(inv.get("control_scale", 1.0))
         self.height, self.width = int(config.height), int(config.width)
         self.work_dir = config.work_dir
