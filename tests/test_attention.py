@@ -82,3 +82,42 @@ def test_bf16_inputs():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(expected), rtol=5e-2, atol=5e-2)
+
+
+class TestSmallKVKernel:
+    """Single-pass small-KV cross-attention kernel vs the oracle."""
+
+    @pytest.mark.parametrize("Sq,Skv,D", [
+        (256, 77, 40),       # SD1.5 L0 cross-attention shape
+        (300, 77, 64),       # unaligned q, SD2.x head dim
+        (128, 128, 40),      # exactly one KV tile, no mask needed
+        (1100, 64, 160),     # q spills past one block, mid-block head dim
+    ])
+    def test_matches_reference(self, Sq, Skv, D):
+        from vidtome_tpu.ops.attention import small_kv_attention
+
+        q, k, v = _qkv(jax.random.key(3), 2, 3, Sq, Skv, D)
+        expected = reference_attention(q, k, v)
+        got = small_kv_attention(q, k, v, interpret=True, block_q=256)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_kv_valid_len_masks_tail(self):
+        from vidtome_tpu.ops.attention import small_kv_attention
+
+        q, k, v = _qkv(jax.random.key(4), 1, 2, 128, 96, 40)
+        n = 77
+        expected = reference_attention(q, k[:, :, :n], v[:, :, :n])
+        got = small_kv_attention(q, k, v, kv_valid_len=n, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_bf16(self):
+        from vidtome_tpu.ops.attention import small_kv_attention
+
+        q, k, v = _qkv(jax.random.key(5), 1, 2, 256, 77, 40, jnp.bfloat16)
+        expected = reference_attention(q, k, v)
+        got = small_kv_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(expected, np.float32),
+            rtol=3e-2, atol=3e-2)

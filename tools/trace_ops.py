@@ -1,0 +1,151 @@
+"""True per-op time breakdown of the production sample block.
+
+Captures a jax.profiler trace of one warm `_sample_block` dispatch and
+aggregates TPU-device event durations by fusion/op name, so MFU work
+targets measured costs instead of microbench guesses (microbenches carry
+per-dispatch overhead that fuses away in the real graph).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/trace_ops.py
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import re
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vidtome_tpu.runtime import setup_compilation_cache
+
+setup_compilation_cache()
+
+from vidtome_tpu.config import Config
+from vidtome_tpu.core import chunk as chunking
+from vidtome_tpu.models.registry import init_model
+from vidtome_tpu.pipeline.generator import Generator
+
+
+def _classify(name: str) -> str:
+    """Bucket an XLA fusion/op name into a component family."""
+    n = name.lower()
+    if "custom-call" in n or "tpu_custom_call" in n:
+        return "pallas-kernel"
+    if "conv" in n:
+        return "conv"
+    if re.search(r"\bdot\b|gemm|matmul", n):
+        return "matmul"
+    if "sort" in n or "top-k" in n or "topk" in n:
+        return "sort/topk"
+    if "gather" in n or "scatter" in n:
+        return "gather/scatter"
+    if "reduce" in n:
+        return "reduce"
+    if "fusion" in n:
+        return "fusion(elementwise)"
+    if "copy" in n or "transpose" in n or "bitcast" in n:
+        return "copy/transpose"
+    return "other"
+
+
+def main():
+    frames, steps, size = 32, 50, 512
+    latent = size // 8
+    bundle = init_model(sd_version="1.5", weight_dtype="bf16")
+    cfg = Config({
+        "sd_version": "1.5", "height": size, "width": size,
+        "seed": 123, "work_dir": "/tmp/bench", "float_precision": "bf16",
+        "generation": {
+            "control": "none", "guidance_scale": 7.5,
+            "n_timesteps": steps, "negative_prompt": "ugly, blurry",
+            "prompt": {"edit": "benchmark prompt"},
+            "latents_path": "/tmp/bench", "output_path": "/tmp/bench",
+            "chunk_size": 4, "chunk_ord": "mix-4",
+            "local_merge_ratio": 0.9, "merge_global": True,
+            "global_merge_ratio": 0.8, "global_rand": 0.5,
+            "align_batch": False, "save_frame": False,
+        },
+    })
+    gen = Generator(bundle, cfg)
+    gen.n_frames = frames
+    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(frames, 4)
+    gen.depth = None
+    gen.control_images = None
+    latents = jax.random.normal(
+        jax.random.key(0), (gen.n_padded, latent, latent, 4), jnp.bfloat16)
+    context = gen.text.embed_cfg("a benchmark prompt", "ugly, blurry")
+
+    t0 = time.time()
+    gen.warmup(latents, context)
+    print(f"warmup {time.time() - t0:.1f}s")
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    fidx_steps = []
+    for _ in range(steps):
+        sch = chunking.chunk_schedule(gen.n_padded, 4, rng, chunk_ord="mix",
+                                      perm_div=4.0, merge_global=True)
+        fidx_steps.append(np.stack([sch.chunk_frames(p)
+                                    for p in range(sch.n_chunks)]))
+    fidx_table = jnp.asarray(np.stack(fidx_steps), jnp.int32)
+    zero = jnp.zeros((), jnp.bfloat16)
+    gs = jnp.asarray(7.5, jnp.float32)
+    block = gen._block_size()
+
+    x = jnp.copy(latents)
+    x = gen._sample_block(gen._params, x, jnp.asarray(0, jnp.int32),
+                          fidx_table, context, zero, zero, zero, gs,
+                          n_steps=block)
+    _ = float(jnp.sum(x))
+
+    trace_dir = "/tmp/trace_ops"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        x = gen._sample_block(gen._params, x, jnp.asarray(0, jnp.int32),
+                              fidx_table, context, zero, zero, zero, gs,
+                              n_steps=block)
+        _ = float(jnp.sum(x))
+
+    files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    assert files, f"no xplane under {trace_dir}"
+    data = jax.profiler.ProfileData.from_file(files[0])
+    by_name: dict[str, float] = collections.defaultdict(float)
+    by_cat: dict[str, float] = collections.defaultdict(float)
+    total = 0.0
+    for plane in data.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
+            continue
+        for line in plane.lines:
+            lname = line.name.lower()
+            # XLA op lines carry per-op events; skip module/step lines
+            if "xla op" not in lname and "xla ops" not in lname:
+                continue
+            for ev in line.events:
+                dur = ev.duration_ns / 1e6
+                by_name[ev.name] += dur
+                by_cat[_classify(ev.name)] += dur
+                total += dur
+    if total == 0.0:
+        # fall back: dump plane/line names to adapt the filter
+        for plane in data.planes:
+            print("plane:", plane.name,
+                  [ln.name for ln in plane.lines][:10])
+        return
+    n_steps_traced = block
+    print(f"\ndevice total {total:.1f}ms over {n_steps_traced} steps "
+          f"= {total / n_steps_traced:.1f}ms/step\n")
+    print("by category (ms/step):")
+    for cat, ms in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:24s} {ms / n_steps_traced:8.2f}  "
+              f"({ms / total:5.1%})")
+    print("\ntop 25 ops (ms/step):")
+    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {ms / n_steps_traced:8.2f}  {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LOG2E = math.log2(math.e)  # softmax in base 2: exp2 is the native VPU
+                            # transcendental; fold log2(e) into the q scale
+                            # once instead of an extra multiply (or a
+                            # costlier exp) per score element.
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -89,10 +93,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
     m_prev = m_scr[...]  # [block_q, 128] (lanes equal)
     m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-    alpha = jnp.exp(m_prev - m_next)  # [block_q, 128]
+    # base-2 softmax: s already carries the log2(e) factor (caller folds it
+    # into q), so exp2 here computes the same weights as exp on raw scores
+    alpha = jnp.exp2(m_prev - m_next)  # [block_q, 128]
     m_scr[...] = m_next
 
-    p = jnp.exp(s - jnp.broadcast_to(m_next[:, :1], s.shape))
+    p = jnp.exp2(s - jnp.broadcast_to(m_next[:, :1], s.shape))
     v = v_ref[0]  # [block_k, D + 1] (last column = ones)
     pv = jax.lax.dot(p.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)  # [block_q, D + 1]
@@ -153,9 +159,9 @@ def flash_attention(
     Sq_p = _round_up(Sq, block_q)
     Skv_p = _round_up(Skv, block_k)
 
-    # Fold the softmax scale into q: one cheap [Sq, D] pass instead of a
-    # full [block_q, block_k] multiply in every kernel tile.
-    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    # Fold the softmax scale AND the base-2 conversion into q: one cheap
+    # [Sq, D] pass instead of per-tile multiplies (the kernel uses exp2).
+    q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
     # ones column on v: PV accumulates softmax row sums on the MXU
@@ -204,11 +210,90 @@ def flash_attention(
     return out.reshape(B, H, Sq_p, D + 1)[:, :, :Sq, :D]
 
 
-# KV lengths at or below this take the XLA path even on TPU: with a single
-# small KV tile (cross-attention against 77 text tokens) the tiled online-
-# softmax kernel is pure overhead — measured 2.6ms vs 1.9ms per L0 block on
-# v5e (tools/exp_attn.py); XLA materializes the small [.., Sq, Skv] score
-# block and fuses softmax into it.
+def _small_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
+                     skv_p: int):
+    """Cross-attention with the whole K/V resident in one tile (77 text
+    tokens padded to 128): single pass, no online-softmax state.  The
+    tiled flash kernel is pure overhead here, and the XLA path spends
+    ~2.3ms per L0 block on layout/softmax passes for ~6 GFLOP of work —
+    this kernel reads each q tile once and writes o once."""
+    q = q_ref[0]  # [block_q, D] — scale * log2(e) pre-folded by caller
+    k = k_ref[0]  # [skv_p, D]
+    v = v_ref[0]  # [skv_p, D]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if kv_len < skv_p:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - jnp.broadcast_to(m, s.shape))
+    l = jnp.sum(p, axis=1, keepdims=True)
+    p = p * (1.0 / jnp.maximum(l, 1e-30))
+    o_ref[0] = jax.lax.dot(p.astype(v.dtype), v,
+                           preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kv_valid_len", "sm_scale", "block_q", "interpret"),
+)
+def small_kv_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid_len: int | None = None,
+    sm_scale: float | None = None,
+    block_q: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention where the full KV fits one tile (Skv <= ~512).
+    q: [B, H, Sq, D]; k, v: [B, H, Skv, D] -> [B, H, Sq, D]."""
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    kv_len = Skv if kv_valid_len is None else kv_valid_len
+
+    block_q = min(block_q, _round_up(Sq, 128))
+    Sq_p = _round_up(Sq, block_q)
+    Skv_p = _round_up(Skv, 128)
+
+    q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
+
+    qf = qp.reshape(B * H, Sq_p, D)
+    kf = kp.reshape(B * H, Skv_p, D)
+    vf = vp.reshape(B * H, Skv_p, D)
+
+    kernel = functools.partial(_small_kv_kernel, kv_len=kv_len, skv_p=Skv_p)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, D), q.dtype),
+        grid=(B * H, Sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Skv_p, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Skv_p, D), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, Sq_p, D)[:, :, :Sq]
+
+
+# KV lengths at or below this take the XLA path on TPU (cross-attention
+# against 77 text tokens): measured v5e ranking at the L0 shape
+# [8,8,4096,40]x77 is XLA 1.42ms < small_kv_attention 2.75ms <
+# tiled flash 6.7ms (tools/profile_hotpath.py + /tmp bench).  The
+# dedicated single-pass kernel loses because D=40 lane-pads to 128 in
+# VMEM (3x read/write traffic); XLA keeps the [B,S,H*D] layout fused.
+# small_kv_attention is kept (tested) for wider-head configs.
 _SMALL_KV_XLA = 256
 
 
