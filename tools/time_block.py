@@ -25,6 +25,12 @@ from vidtome_tpu.pipeline.generator import Generator
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ldm", action="store_true",
+                    help="merge_crossattn + merge_ff (LDM-variant fast mode)")
+    args = ap.parse_args()
     frames, steps, size = 32, 50, 512
     latent = size // 8
     bundle = init_model(sd_version="1.5", weight_dtype="bf16")
@@ -40,6 +46,7 @@ def main():
             "local_merge_ratio": 0.9, "merge_global": True,
             "global_merge_ratio": 0.8, "global_rand": 0.5,
             "align_batch": False, "save_frame": False,
+            "merge_crossattn": args.ldm, "merge_ff": args.ldm,
         },
     })
     gen = Generator(bundle, cfg)

@@ -54,7 +54,10 @@ class VAEAttentionBlock(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        out = attention(q[:, None], k[:, None], v[:, None], use_pallas=False)
+        # flash path: at 64x64 latents this is 4096 tokens with D=512 — a
+        # full-width MXU contraction; the XLA path materializes a 67MB fp32
+        # score matrix per frame (the decoder's dominant cost at 512p)
+        out = attention(q[:, None], k[:, None], v[:, None])
         out = out[:, 0]
         out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
         return x + out.reshape(B, H, W, C)
