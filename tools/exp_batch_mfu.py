@@ -27,7 +27,7 @@ def main():
     params = bundle.unet_params
     ctx1 = jax.random.normal(jax.random.key(1), (1, 77, 768), jnp.bfloat16)
 
-    for B in (4, 8, 16, 32):
+    for B in (8, 16, 32):
         x = jax.random.normal(jax.random.key(0), (B, 64, 64, 4),
                               jnp.bfloat16)
         ctx = jnp.tile(ctx1, (B, 1, 1))

@@ -116,6 +116,9 @@ def main():
     by_name: dict[str, float] = collections.defaultdict(float)
     by_cat: dict[str, float] = collections.defaultdict(float)
     total = 0.0
+    skip = re.compile(
+        r"^%?(while|copy-start|slice-start|copy-done|slice-done|"
+        r"all-reduce-start|tuple|get-tuple-element|bitcast|parameter)")
     for plane in data.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name:
             continue
@@ -125,8 +128,12 @@ def main():
             if "xla op" not in lname and "xla ops" not in lname:
                 continue
             for ev in line.events:
+                if skip.match(ev.name):
+                    continue  # loop wrappers + async DMA (overlaps compute)
                 dur = ev.duration_ns / 1e6
-                by_name[ev.name] += dur
+                # collapse "%fusion.1234" -> "fusion" family for ranking
+                fam = re.sub(r"\.\d+.*$", "", ev.name.lstrip("%"))
+                by_name[fam] += dur
                 by_cat[_classify(ev.name)] += dur
                 total += dur
     if total == 0.0:
@@ -142,8 +149,8 @@ def main():
     for cat, ms in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"  {cat:24s} {ms / n_steps_traced:8.2f}  "
               f"({ms / total:5.1%})")
-    print("\ntop 25 ops (ms/step):")
-    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
+    print("\ntop 40 op families (ms/step):")
+    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
         print(f"  {ms / n_steps_traced:8.2f}  {name[:100]}")
 
 
