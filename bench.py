@@ -32,6 +32,20 @@ argsort matching, and CPU-offloaded token banks put it at the low end.
      implementation at batch 8 (sensitivity band: 1.3 - 2.3 f/s).
 The north-star target is vs_baseline >= 3.
 
+What >= 3x additionally requires (round-2 roofline, measured via
+tools/trace_ops.py on v5e): at the default config the step executes
+~46 TFLOP, so even 100% MFU caps throughput at ~2.9 frames/s — the
+target needs FLOP reduction on top of efficiency.  The measured device
+split per step is elementwise fusions 124ms + norm/softmax reductions
+123ms + flash attention 83ms + residual adds 59ms + convs 40ms: the
+flash kernel already runs at ~82% of the head_dim-40 MXU ceiling
+(31% of chip peak — SD1.5's D=40 underfills the 128-wide systolic
+array; this bounds naive MFU well under the 60%+ a D=128 model would
+show), and the remaining majority is HBM-bandwidth-bound normalize /
+residual traffic, not MXU slack.  --ldm (the reference's own LDM-block
+trade: merge around cross-attention + feed-forward too,
+patch.py:104-114) cuts ~12% of FLOPs for ~4% wall time.
+
 Prints ONE json line with the headline metric plus auxiliary fields:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/1.8,
    "end_to_end_fps": ..., "inversion_fps": ..., "gen_tflops": ...,
@@ -112,6 +126,12 @@ def main():
                         help="re-match per block instead of sharing the "
                              "bipartite matching across sibling blocks per "
                              "level (the production default shares)")
+    parser.add_argument("--ldm", action="store_true",
+                        help="LDM-variant fast mode: merge around "
+                             "cross-attention and feed-forward too "
+                             "(reference patch.py:104-114) — ~12%% fewer "
+                             "FLOPs, merged-away tokens take their dst's "
+                             "attn2/ff output")
     args = parser.parse_args()
     if args.quick:
         args.frames, args.steps = 8, 5
@@ -149,6 +169,7 @@ def main():
             "global_merge_ratio": 0.8, "global_rand": 0.5,
             "align_batch": False, "save_frame": False,
             "share_match": not args.no_share_match,
+            "merge_crossattn": args.ldm, "merge_ff": args.ldm,
         },
     })
     gen = Generator(bundle, cfg)
@@ -259,6 +280,7 @@ def main():
         "inversion_fps": round(args.frames / inv_elapsed, 4),
         "gen_tflops": round(gen_tflops, 1),
         "gen_mfu": round(gen_mfu, 4),
+        "mode": "ldm-fast" if args.ldm else "default",
     }
     print(f"[bench] {args.frames} frames x {args.steps} steps in "
           f"{elapsed:.2f}s (checksum {checksum:.2f})", file=sys.stderr)

@@ -33,6 +33,7 @@ SD_MODEL_KEYS = {
     "1.5": "stable-diffusion-v1-5",
     "depth": "stable-diffusion-2-depth",
     "xl": "stable-diffusion-xl-base-1.0",
+    "xl-refiner": "stable-diffusion-xl-refiner-1.0",
 }
 
 SD_CONFIGS: dict[str, tuple[UNetConfig, CLIPTextConfig]] = {
@@ -43,6 +44,10 @@ SD_CONFIGS: dict[str, tuple[UNetConfig, CLIPTextConfig]] = {
     # weight-free smoke-test stack (random weights, tiny shapes)
     "tiny": (None, None),  # resolved in init_model
     "xl": (None, None),    # resolved in init_model (dual text encoders)
+    # SDXL refiner: bigG text encoder only, aesthetic-score conditioning;
+    # used as the second stage of a two-stage denoise split
+    "xl-refiner": (None, None),
+    "tiny-refiner": (None, None),
 }
 
 # VAE channel stacks per version ('tiny' shrinks everything; all real SD
@@ -98,6 +103,17 @@ class ModelBundle:
     @property
     def is_xl(self) -> bool:
         return self.text2_config is not None
+
+    @property
+    def is_refiner(self) -> bool:
+        """SDXL refiner: single (bigG) text encoder, pooled conditioning,
+        5 time ids (incl. aesthetic score)."""
+        return self.sd_version.endswith("refiner")
+
+    @property
+    def needs_pooled(self) -> bool:
+        """UNet takes add_text_embeds/add_time_ids (SDXL family)."""
+        return self.is_xl or self.is_refiner
 
     def make_unet(self, tome: Optional[ToMeConfig] = None,
                   use_pallas: Optional[bool] = None) -> UNet2DConditionModel:
@@ -195,6 +211,20 @@ def init_model(
         unet_cfg, text_cfg, text2_cfg = SDXL_UNET, SDXL_TEXT_1, SDXL_TEXT_2
         vae_channels = VAE_CHANNELS["default"]
         vae_scaling = 0.13025
+    elif sd_version == "xl-refiner":
+        from vidtome_tpu.models.clip_text import SDXL_TEXT_2
+        from vidtome_tpu.models.unet import SDXL_REFINER_UNET
+
+        # single (bigG) encoder IS the primary text model for the refiner
+        unet_cfg, text_cfg = SDXL_REFINER_UNET, SDXL_TEXT_2
+        vae_channels = VAE_CHANNELS["default"]
+        vae_scaling = 0.13025
+    elif sd_version == "tiny-refiner":
+        from vidtome_tpu.models.clip_text import TINY_TEXT_2
+        from vidtome_tpu.models.unet import TINY_REFINER_UNET
+
+        unet_cfg, text_cfg = TINY_REFINER_UNET, TINY_TEXT_2
+        vae_channels = VAE_CHANNELS["tiny"]
     else:
         unet_cfg, text_cfg = SD_CONFIGS.get(sd_version, SD_CONFIGS["1.5"])
         vae_channels = VAE_CHANNELS["default"]
@@ -209,8 +239,12 @@ def init_model(
             convert.load_component_state(model_key, "unet"))
         vae_params = convert.convert_vae(
             convert.load_component_state(model_key, "vae"))
+        # refiner checkpoints ship only the bigG encoder as text_encoder_2
+        text_component = ("text_encoder_2"
+                          if sd_version.endswith("refiner")
+                          else "text_encoder")
         text_params = convert.convert_text_encoder(
-            convert.load_component_state(model_key, "text_encoder"))
+            convert.load_component_state(model_key, text_component))
         unet_params = _cast(unet_params, dtype)
         vae_params = _cast(vae_params, dtype)
         text_params = _cast(text_params, jnp.float32)

@@ -161,9 +161,11 @@ class HashTokenizer:
 
 def load_tokenizer(model_dir: str | None, vocab_size: int = 49408,
                    max_length: int = 77):
-    """Tokenizer from ``<model_dir>/tokenizer`` if present, else fallback."""
+    """Tokenizer from ``<model_dir>/tokenizer`` if present, else fallback
+    (``tokenizer_2`` covers SDXL-refiner checkpoints, which ship only the
+    second tokenizer)."""
     if model_dir:
-        for sub in ("tokenizer", "."):
+        for sub in ("tokenizer", "tokenizer_2", "."):
             path = os.path.join(model_dir, sub)
             if os.path.exists(os.path.join(path, "vocab.json")):
                 return CLIPTokenizer.from_dir(path, max_length)

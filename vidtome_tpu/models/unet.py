@@ -82,6 +82,23 @@ SDXL_UNET = UNetConfig(
     addition_embed=True,
 )
 
+SDXL_REFINER_UNET = UNetConfig(
+    # stabilityai/stable-diffusion-xl-refiner-1.0: 4 levels, attention on
+    # the middle two (and mid block) at constant 96-wide heads, context
+    # from the bigG encoder only (1280), and 5 micro-conditioning time ids
+    # (orig size, crop, aesthetic score) instead of the base's 6.
+    block_out_channels=(384, 768, 1536, 1536),
+    cross_attention_dim=1280,
+    num_heads=None, head_dim=96,
+    transformer_depth=4,
+    use_linear_projection=True,
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                      "CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D",
+                    "CrossAttnUpBlock2D", "UpBlock2D"),
+    addition_embed=True, addition_num_time_ids=5,
+)
+
 TINY_UNET = UNetConfig(
     block_out_channels=(32, 64), layers_per_block=1, cross_attention_dim=32,
     num_heads=2,
@@ -95,6 +112,14 @@ TINY_SDXL_UNET = UNetConfig(
     up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
     addition_embed=True, addition_time_embed_dim=8, addition_pooled_dim=16,
     addition_num_time_ids=6)
+
+TINY_REFINER_UNET = UNetConfig(
+    block_out_channels=(32, 64), layers_per_block=1, cross_attention_dim=16,
+    num_heads=2, transformer_depth=1, use_linear_projection=True,
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+    addition_embed=True, addition_time_embed_dim=8, addition_pooled_dim=16,
+    addition_num_time_ids=5)
 
 
 class UNet2DConditionModel(nn.Module):

@@ -25,6 +25,7 @@ class TextEncoder:
         model = bundle.make_text_model()
         self._params = bundle.text_params
         self.is_xl = bundle.is_xl
+        self.is_refiner = bundle.is_refiner
 
         @jax.jit
         def encode(params, ids):
@@ -44,31 +45,41 @@ class TextEncoder:
 
     def __call__(self, prompts: str | list[str]):
         ids = jnp.asarray(self._tokenizer(prompts))
+        if self.is_refiner:
+            # SDXL refiner: the bigG encoder alone provides both the
+            # context and the pooled projection; its tokenizer pads with
+            # id 0 after the first EOS (same convention as encoder 2).
+            hidden, pooled = self._encode(self._params,
+                                          self._zero_after_eos(ids))
+            return hidden, pooled
         hidden = self._encode(self._params, ids)
         if not self.is_xl:
             return hidden
-        # SDXL's second tokenizer pads with id 0 ('!') instead of EOS: keep
-        # the first EOS, zero everything after it.
-        eos = getattr(self._tokenizer, "eos", None)
-        if eos is not None:
-            is_eos = (ids == eos).astype(jnp.int32)
-            after_first_eos = jnp.cumsum(is_eos, axis=1) - is_eos > 0
-            ids2 = jnp.where(after_first_eos, 0, ids)
-        else:
-            ids2 = ids
-        hidden2, pooled = self._encode2(self._params2, ids2)
+        hidden2, pooled = self._encode2(self._params2,
+                                        self._zero_after_eos(ids))
         return jnp.concatenate([hidden, hidden2], axis=-1), pooled
+
+    def _zero_after_eos(self, ids):
+        """SDXL's second tokenizer pads with id 0 ('!') instead of EOS:
+        keep the first EOS, zero everything after it."""
+        eos = getattr(self._tokenizer, "eos", None)
+        if eos is None:
+            return ids
+        is_eos = (ids == eos).astype(jnp.int32)
+        after_first_eos = jnp.cumsum(is_eos, axis=1) - is_eos > 0
+        return jnp.where(after_first_eos, 0, ids)
 
     def embed_cfg(self, prompt: str, negative_prompt: str | None,
                   pnp: bool = False):
         """[uncond; cond] (+ leading empty-prompt lane for PnP,
-        reference generate.py:100-108).  SDXL: returns (context, pooled)."""
+        reference generate.py:100-108).  SDXL family: returns
+        (context, pooled)."""
         prompts = []
         if pnp:
             prompts.append("")
         prompts.append(negative_prompt or "")
         prompts.append(prompt)
-        if self.is_xl:
+        if self.is_xl or self.is_refiner:
             ctxs, pooleds = [], []
             for p in prompts:
                 c, pl = self(p)

@@ -150,6 +150,32 @@ class Generator:
 
         self._sample_block = self._build_sample_fn()
 
+        # Optional SDXL-refiner second stage (no reference counterpart —
+        # diffusers-style two-stage denoise split): the base model handles
+        # the first denoising_start fraction of the schedule, the refiner
+        # (a low-noise specialist conditioned on an aesthetic score) the
+        # rest.  Token merging stays active in both stages.
+        self.refiner = None
+        ref = gene.get("refiner", None)
+        if ref and not bundle.is_refiner:
+            from vidtome_tpu.config import Config
+            from vidtome_tpu.models.registry import init_model
+
+            ref_bundle = init_model(
+                sd_version=ref.get("sd_version", "xl-refiner"),
+                model_key=ref.get("model_key"),
+                weight_dtype=("bf16" if bundle.dtype == jnp.bfloat16
+                              else "fp32"))
+            ref_cfg = Config(config.to_dict())
+            ref_cfg["generation"]["control"] = "none"  # no PnP/ControlNet
+            ref_cfg["generation"]["refiner"] = None
+            self.refiner = Generator(ref_bundle, ref_cfg,
+                                     use_pallas=use_pallas, mesh=mesh)
+            self.refiner_start = float(ref.get("denoising_start", 0.8))
+            self.aesthetic_score = float(ref.get("aesthetic_score", 6.0))
+            self.negative_aesthetic_score = float(
+                ref.get("negative_aesthetic_score", 2.5))
+
     # ------------------------------------------------------------------
 
     def _build_sample_fn(self):
@@ -176,7 +202,7 @@ class Generator:
         pnp_attn_steps = getattr(self, "pnp_attn_steps", 0)
         pnp_conv_steps = getattr(self, "pnp_conv_steps", 0)
 
-        is_xl = self.bundle.is_xl
+        is_xl = self.bundle.needs_pooled
 
         def chunk_eps(bank_mode, params, x_full, eps_buf, fidx, banks,
                       step_i, chunk_pos, context, source_full, depth_full,
@@ -374,19 +400,21 @@ class Generator:
 
     # ------------------------------------------------------------------
 
-    def ddim_sample(self, x, context):
+    def ddim_sample(self, x, context, start: int = 0,
+                    stop: int | None = None):
         print("[INFO] denoising frames...")
         profile_dir = (self.config.get("tpu", {}) or {}).get("profile_dir")
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         try:
-            return self._ddim_sample(x, context)
+            return self._ddim_sample(x, context, start, stop)
         finally:
             if profile_dir:
                 jax.profiler.stop_trace()
                 print(f"[INFO] profiler trace written to {profile_dir}")
 
-    def _ddim_sample(self, x, context):
+    def _ddim_sample(self, x, context, start: int = 0,
+                     stop: int | None = None):
         # copy: the block function donates its latent buffer, and callers
         # reuse the initial noise across prompts (multi-edit loop).
         x = jnp.copy(x)
@@ -422,16 +450,59 @@ class Generator:
         else:
             src_table = zero
 
+        stop = sch.num_steps if stop is None else stop
         block = self._block_size()
-        for s in range(0, sch.num_steps, block):
+        s = start
+        while s < stop:
+            # partial blocks (refiner splits that don't align to the block
+            # size) compile one extra executable for the remainder
+            n = min(block, stop - s)
             x = self._sample_block(
                 self._params, x, jnp.asarray(s, jnp.int32), fidx_table,
-                context, src_table, depth, control, gs, n_steps=block)
-            print(f"[INFO] step {min(s + block, sch.num_steps)}"
-                  f"/{sch.num_steps}")
+                context, src_table, depth, control, gs, n_steps=n)
+            s += n
+            print(f"[INFO] step {s}/{sch.num_steps}")
         return x
 
     # ------------------------------------------------------------------
+
+    def _build_context(self, edit_prompt, aesthetic=None):
+        """Text context for THIS generator's bundle.  SDXL family adds
+        (pooled, time_ids); the refiner's 5 time ids carry an aesthetic
+        score per CFG lane instead of the base's target-size pair."""
+        context = self.text.embed_cfg(edit_prompt, self.negative_prompt,
+                                      pnp=self.use_pnp)
+        if not self.bundle.needs_pooled:
+            return context
+        ctx, pooled = context
+        h, w = float(self.height), float(self.width)
+        if self.bundle.unet_config.addition_num_time_ids == 5:
+            neg, pos = aesthetic or (2.5, 6.0)
+            scores = [neg] * (ctx.shape[0] - 1) + [pos]  # cond lane last
+            time_ids = jnp.asarray(
+                [[h, w, 0.0, 0.0, s] for s in scores], jnp.float32)
+        else:
+            time_ids = jnp.tile(
+                jnp.asarray([[h, w, 0.0, 0.0, h, w]], jnp.float32),
+                (ctx.shape[0], 1))
+        return (ctx, pooled, time_ids)
+
+    def _sample_with_refiner(self, edit_prompt, context):
+        """Two-stage denoise: base for the first denoising_start fraction
+        of the schedule, refiner for the rest."""
+        steps = self.scheduler.num_steps
+        split = max(1, min(int(round(steps * self.refiner_start)),
+                           steps - 1))
+        x = self.ddim_sample(self.init_noise, context, stop=split)
+        r = self.refiner
+        r.n_frames, r.n_padded, r.pad_src = (
+            self.n_frames, self.n_padded, self.pad_src)
+        r.depth = r.control_images = None
+        ref_context = r._build_context(
+            edit_prompt, aesthetic=(self.negative_aesthetic_score,
+                                    self.aesthetic_score))
+        print(f"[INFO] refiner stage: steps {split}..{steps}")
+        return r.ddim_sample(x, ref_context, start=split)
 
     def __call__(self, data_path, latents_path, output_path, frame_ids):
         latents_dir = artifacts.get_latents_dir(latents_path,
@@ -447,16 +518,11 @@ class Generator:
         outputs = {}
         for edit_name, edit_prompt in dict(self.prompt).items():
             print(f"[INFO] current prompt: {edit_prompt}")
-            context = self.text.embed_cfg(edit_prompt, self.negative_prompt,
-                                          pnp=self.use_pnp)
-            if self.bundle.is_xl:
-                ctx, pooled = context
-                h, w = float(self.height), float(self.width)
-                time_ids = jnp.tile(
-                    jnp.asarray([[h, w, 0.0, 0.0, h, w]], jnp.float32),
-                    (ctx.shape[0], 1))
-                context = (ctx, pooled, time_ids)
-            clean = self.ddim_sample(self.init_noise, context)
+            context = self._build_context(edit_prompt)
+            if self.refiner is not None:
+                clean = self._sample_with_refiner(edit_prompt, context)
+            else:
+                clean = self.ddim_sample(self.init_noise, context)
             frames = np.asarray(self.vae.decode(clean[: self.n_frames]))
             cur_out = os.path.join(output_path, edit_name)
             save_config(self.config, cur_out, gene=True)
