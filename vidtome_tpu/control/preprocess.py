@@ -114,12 +114,19 @@ def softedge_preprocess(images: np.ndarray, proc: str = "pidsafe",
 
 def lineart_anime_preprocess(images: np.ndarray, proc: str = "anime",
                              **_) -> np.ndarray:
+    from vidtome_tpu.control import lineart
+
+    model = lineart.lineart_model_path()
+    if model is not None:
+        # native Anime2Sketch UnetGenerator (control/lineart.py)
+        return lineart.lineart_edges(images, model)
     aux = _try_aux(f"lineart_{proc}", images)
     if aux is not None:
         return aux
     if "lineart" not in _aux_warned:
-        print("[WARNING] controlnet_aux unavailable — lineart falls back "
-              "to inverted edges (approximate)")
+        print("[WARNING] no lineart checkpoint (set VIDTOME_LINEART_MODEL) "
+              "and no controlnet_aux — lineart falls back to inverted "
+              "edges (approximate)")
         _aux_warned.add("lineart")
     return np.stack([
         np.stack([1.0 - _sobel_edges(i)] * 3, -1) for i in images])
