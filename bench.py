@@ -250,8 +250,9 @@ def main():
                           tome_call=ToMeCall(key=key, bank_mode="init"),
                           num_lanes=2, mutable=["tome_bank"])
 
-    _, probe_banks = _probe_init(gen.unet_params, x_in, ctx_in,
-                                 jax.random.key(0))
+    _, probe_mut = _probe_init(gen.unet_params, x_in, ctx_in,
+                               jax.random.key(0))
+    probe_banks = probe_mut["tome_bank"]  # unwrap the mutated-vars dict
 
     @jax.jit
     def _probe_merge(params, banks, x, ctx, key):
@@ -267,7 +268,9 @@ def main():
     xla_per_step = f_init + (n_chunks - 1) * f_merge
     flops_per_step = xla_per_step + _pallas_attn_flops_per_step(
         gen, latent)
-    gen_tflops = flops_per_step * args.steps / elapsed / 1e12
+    # MFU over the sample loop only (t_sample): the FLOP model counts UNet
+    # work, so including VAE-decode wall time would deflate the ratio.
+    gen_tflops = flops_per_step * args.steps / t_sample / 1e12
     gen_mfu = gen_tflops * 1e12 / V5E_BF16_PEAK
 
     e2e_elapsed = inv_elapsed + elapsed

@@ -139,3 +139,16 @@ def test_two_stage_refiner_generation(xl_bundle, tmp_path):
     assert refined.shape == base_only.shape
     assert np.isfinite(refined).all()
     assert np.abs(refined - base_only).max() > 1e-6
+
+
+def test_refiner_rejects_non_xl_base(tmp_path):
+    """The refiner denoises SDXL-VAE latents; chaining onto an SD1.5 base
+    must fail loudly at construction, not corrupt output silently."""
+    from tests.helpers import make_tiny_bundle
+    from vidtome_tpu.pipeline.generator import Generator
+
+    bundle = make_tiny_bundle()  # non-XL tiny stack
+    cfg = _base_config(str(tmp_path), str(tmp_path / "v.mp4"))
+    cfg["generation"]["refiner"] = {"sd_version": "tiny-refiner"}
+    with pytest.raises(ValueError, match="SDXL base"):
+        Generator(bundle, cfg, use_pallas=False)

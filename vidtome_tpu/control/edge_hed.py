@@ -97,31 +97,21 @@ def convert_hed_state_dict(sd: dict) -> dict:
     return params
 
 
-def _load_state_dict(path: str) -> dict:
-    if os.path.isdir(path):
-        for fn in sorted(os.listdir(path)):
-            if fn.endswith((".pth", ".pt", ".bin", ".safetensors")):
-                path = os.path.join(path, fn)
-                break
-        else:
-            raise FileNotFoundError(f"no checkpoint file under {path}")
-    if path.endswith(".safetensors"):
-        from safetensors.numpy import load_file
-
-        return dict(load_file(path))
-    import torch
-
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: v.numpy() for k, v in sd.items()}
-
-
 _cache: dict[str, tuple] = {}
 
 
 def _get_detector(path: str):
+    """(jitted forward, params) — the compiled executable is cached with
+    the weights so repeated clips don't re-trace/re-compile."""
     if path not in _cache:
-        params = convert_hed_state_dict(_load_state_dict(path))
-        _cache[path] = (_build_model(), params)
+        import jax
+
+        from vidtome_tpu.control.loading import load_state_dict
+
+        params = convert_hed_state_dict(load_state_dict(path))
+        model = _build_model()
+        fwd = jax.jit(lambda x: model.apply({"params": params}, x))
+        _cache[path] = (fwd, params)
     return _cache[path]
 
 
@@ -136,14 +126,9 @@ def hed_edges(images: np.ndarray, model_path: str,
               safe: bool = True) -> np.ndarray:
     """[T, H, W, 3] RGB in [0,1] -> softedge maps [T, H, W, 3] in [0,1]."""
     import cv2
-    import jax
     import jax.numpy as jnp
 
-    model, params = _get_detector(model_path)
-
-    @jax.jit
-    def fwd(x):
-        return model.apply({"params": params}, x)
+    fwd, _ = _get_detector(model_path)
 
     out = []
     T, H, W = images.shape[:3]

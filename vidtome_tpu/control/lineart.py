@@ -119,44 +119,35 @@ def convert_lineart_state_dict(sd: dict) -> dict:
     return params
 
 
-def _load_state_dict(path: str) -> dict:
-    if os.path.isdir(path):
-        for fn in sorted(os.listdir(path)):
-            if fn.endswith((".pth", ".pt", ".bin", ".safetensors")):
-                path = os.path.join(path, fn)
-                break
-        else:
-            raise FileNotFoundError(f"no checkpoint file under {path}")
-    if path.endswith(".safetensors"):
-        from safetensors.numpy import load_file
-
-        return dict(load_file(path))
-    import torch
-
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: v.numpy() for k, v in sd.items()}
+_cache: dict[str, tuple] = {}
 
 
-_cache: dict[str, dict] = {}
+def _get_generator(path: str):
+    """(jitted forward, params) — the compiled executable is cached with
+    the weights so repeated clips don't re-trace/re-compile."""
+    if path not in _cache:
+        import jax
+
+        from vidtome_tpu.control.loading import load_state_dict
+
+        params = convert_lineart_state_dict(load_state_dict(path))
+        fwd = jax.jit(lambda x: unet_generator_apply(params, x))
+        _cache[path] = (fwd, params)
+    return _cache[path]
 
 
 def lineart_edges(images: np.ndarray, model_path: str) -> np.ndarray:
     """[T, H, W, 3] RGB in [0,1] -> lineart maps [T, H, W, 3] in [0,1]
     (dark strokes on white, the Anime2Sketch output convention)."""
     import cv2
-    import jax
     import jax.numpy as jnp
 
-    if model_path not in _cache:
-        _cache[model_path] = convert_lineart_state_dict(
-            _load_state_dict(model_path))
-    params = _cache[model_path]
+    fwd, _ = _get_generator(model_path)
 
     T, H, W = images.shape[:3]
     gran = 256  # detector works on 256-multiples (controlnet_aux recipe)
     Hn, Wn = ((H + gran - 1) // gran) * gran, ((W + gran - 1) // gran) * gran
 
-    fwd = jax.jit(lambda x: unet_generator_apply(params, x))
     out = []
     for img in np.asarray(images, np.float32):
         feed = cv2.resize(img, (Wn, Hn), interpolation=cv2.INTER_CUBIC)

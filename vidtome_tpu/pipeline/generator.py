@@ -161,6 +161,15 @@ class Generator:
             from vidtome_tpu.config import Config
             from vidtome_tpu.models.registry import init_model
 
+            if not bundle.is_xl:
+                # The refiner denoises in the SDXL VAE latent space
+                # (scaling 0.13025); chaining it onto an SD1.5/2.x base
+                # would silently produce corrupted output.
+                raise ValueError(
+                    "generation.refiner requires an SDXL base "
+                    "(sd_version: xl); got "
+                    f"sd_version={bundle.sd_version!r}")
+
             ref_bundle = init_model(
                 sd_version=ref.get("sd_version", "xl-refiner"),
                 model_key=ref.get("model_key"),
