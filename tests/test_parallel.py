@@ -109,3 +109,33 @@ def test_inverter_style_dp_sharding(setup):
     expected = model.apply({"params": params}, x, jnp.asarray(10), ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+class TestMultihostInit:
+    """initialize_multihost: single-process no-op vs config wiring (a real
+    pod can't be tested here; the contract is the call order + idempotence
+    + the no-op path never touching jax.distributed)."""
+
+    def test_single_process_autodetect_is_noop(self, monkeypatch):
+        from vidtome_tpu.parallel import distributed as D
+
+        for m in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                  "COORDINATOR_ADDRESS", "SLURM_JOB_ID"):
+            monkeypatch.delenv(m, raising=False)
+        monkeypatch.setattr(D, "_initialized", False)
+        assert D.initialize_multihost() is False
+
+    def test_config_gate(self, monkeypatch):
+        from vidtome_tpu.config import Config
+        from vidtome_tpu.parallel import distributed as D
+
+        monkeypatch.setattr(D, "_initialized", False)
+        assert D.initialize_from_config(None) is False
+        assert D.initialize_from_config(Config({"multihost": False})) is False
+
+    def test_idempotent_once_initialized(self, monkeypatch):
+        from vidtome_tpu.parallel import distributed as D
+
+        monkeypatch.setattr(D, "_initialized", True)
+        # must short-circuit without calling jax.distributed.initialize
+        assert D.initialize_multihost("bogus:0", 2, 0) is True

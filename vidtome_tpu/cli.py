@@ -21,6 +21,12 @@ def setup_from_argv(argv=None):
 
     setup_compilation_cache()
     config = load_config(argv)
+
+    # Multi-host first: jax.distributed.initialize must run before any
+    # backend touch so jax.devices() spans the pod for mesh construction.
+    from vidtome_tpu.parallel.distributed import initialize_from_config
+
+    initialize_from_config(config.get("tpu", None))
     bundle = init_model(
         sd_version=str(config.get("sd_version", "1.5")),
         model_key=config.get("model_key", None),
