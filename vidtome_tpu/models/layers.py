@@ -59,16 +59,55 @@ class TimestepEmbedding(nn.Module):
         return emb
 
 
-def _group_norm(x, name, num_groups=32, eps=1e-5):
-    """GroupNorm at the compute dtype (flax computes mean/var in fp32
-    internally, so no manual upcast round trip — that would double HBM
-    traffic on the big NHWC activations).  Clamps the group count for tiny
-    test configs (SD channel counts are always multiples of 32)."""
+class FusedGroupNorm(nn.Module):
+    """GroupNorm (+ optional fused SiLU) with Pallas statistics
+    (ops/groupnorm.py) — used only for large spatial slabs (VAE
+    encode/decode), where it cut 512p decode from 1.54s to 0.99s per 32
+    frames on v5e.  Param tree matches nn.GroupNorm (scale/bias [C]) so
+    converted checkpoints load unchanged."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+    silu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from vidtome_tpu.ops.groupnorm import group_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return group_norm(x, scale, bias, self.num_groups, self.epsilon,
+                          silu=self.silu)
+
+
+def _group_norm(x, name, num_groups=32, eps=1e-5, silu=False,
+                use_pallas=None):
+    """GroupNorm at the compute dtype; ``silu=True`` folds in the
+    activation that always follows resnet norms.  Large spatial slabs on
+    TPU route to the Pallas-statistics kernel; everything else stays on
+    flax nn.GroupNorm, whose compiled pattern measured fastest for
+    UNet-scale shapes (in-graph: 458ms/step flax vs 484 pallas vs 567
+    hand-written XLA formula).  Clamps the group count for tiny test
+    configs (SD channel counts are always multiples of 32)."""
+    from vidtome_tpu.ops import groupnorm as gn_ops
+
     groups = num_groups
     while x.shape[-1] % groups != 0:
         groups //= 2
-    return nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=x.dtype,
-                        name=name)(x)
+    rows = 1
+    for d in x.shape[1:-1]:
+        rows *= d
+    eligible = (
+        (jax.default_backend() == "tpu" if use_pallas is None
+         else use_pallas)
+        and rows % 8 == 0 and rows >= gn_ops._MIN_PALLAS_ROWS)
+    if eligible:
+        return FusedGroupNorm(num_groups=groups, epsilon=eps, silu=silu,
+                              name=name)(x)
+    y = nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=x.dtype,
+                     name=name)(x)
+    return nn.silu(y) if silu else y
 
 
 class ResnetBlock2D(nn.Module):
@@ -84,15 +123,13 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb, inject: Optional[jnp.ndarray] = None,
                  num_lanes: int = 1):
-        h = _group_norm(x, "norm1")
-        h = nn.silu(h)
+        h = _group_norm(x, "norm1", silu=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
                              name="time_emb_proj")(nn.silu(temb))
         h = h + temb_proj[:, None, None, :]
-        h = _group_norm(h, "norm2")
-        h = nn.silu(h)
+        h = _group_norm(h, "norm2", silu=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
 

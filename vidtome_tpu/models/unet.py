@@ -245,8 +245,7 @@ class UNet2DConditionModel(nn.Module):
                 h = Upsample2D(ch, dtype=self.dtype,
                                name=f"up_{i}_upsample")(h)
 
-        h = _group_norm(h, "conv_norm_out")
-        h = nn.silu(h)
+        h = _group_norm(h, "conv_norm_out", silu=True)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(h)
         return h

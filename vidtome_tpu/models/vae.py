@@ -26,12 +26,10 @@ class VAEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = _group_norm(x, "norm1")
-        h = nn.silu(h)
+        h = _group_norm(x, "norm1", silu=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = _group_norm(h, "norm2")
-        h = nn.silu(h)
+        h = _group_norm(h, "norm2", silu=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -86,8 +84,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_resnets_0")(h)
         h = VAEAttentionBlock(ch, dtype=self.dtype, name="mid_attn")(h)
         h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_resnets_1")(h)
-        h = _group_norm(h, "conv_norm_out")
-        h = nn.silu(h)
+        h = _group_norm(h, "conv_norm_out", silu=True)
         moments = nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
                           dtype=self.dtype, name="conv_out")(h)
         return moments  # [B, H/8, W/8, 2*latent]: mean | logvar
@@ -116,8 +113,7 @@ class Decoder(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(h)
-        h = _group_norm(h, "conv_norm_out")
-        h = nn.silu(h)
+        h = _group_norm(h, "conv_norm_out", silu=True)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
 
