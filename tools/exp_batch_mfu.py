@@ -46,7 +46,9 @@ def main():
         ca = loop.lower(params, x, ctx).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))  # all 8 iterations
+        # XLA cost analysis counts a scan body ONCE regardless of trip
+        # count — the loop runs it 8x, so total executed FLOPs = 8x this.
+        flops = float(ca.get("flops", 0.0)) * 8
         _ = float(loop(params, x, ctx))  # compile+warm
         t0 = time.time()
         _ = float(loop(params, x, ctx))
