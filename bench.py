@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -132,6 +133,11 @@ def main():
                              "(reference patch.py:104-114) — ~12%% fewer "
                              "FLOPs, merged-away tokens take their dst's "
                              "attn2/ff output")
+    parser.add_argument("--pnp", action="store_true",
+                        help="PnP mode (the reference's flagship dog.yaml "
+                             "config): 3 CFG lanes with source-branch "
+                             "QK/conv injection, aligned matching, and "
+                             "per-timestep source latents (synthesized)")
     args = parser.parse_args()
     if args.quick:
         args.frames, args.steps = 8, 5
@@ -160,7 +166,8 @@ def main():
         "sd_version": "1.5", "height": args.size, "width": args.size,
         "seed": 123, "work_dir": "/tmp/bench", "float_precision": "bf16",
         "generation": {
-            "control": "none", "guidance_scale": 7.5,
+            "control": "pnp" if args.pnp else "none",
+            "guidance_scale": 7.5,
             "n_timesteps": args.steps, "negative_prompt": "ugly, blurry",
             "prompt": {"edit": "benchmark prompt"},
             "latents_path": "/tmp/bench", "output_path": "/tmp/bench",
@@ -181,7 +188,27 @@ def main():
     gen.control_images = None
     latents = jax.random.normal(
         jax.random.key(0), (gen.n_padded, latent, latent, 4), jnp.bfloat16)
-    context = gen.text.embed_cfg("a benchmark prompt", "ugly, blurry")
+    context = gen.text.embed_cfg("a benchmark prompt", "ugly, blurry",
+                                 pnp=args.pnp)
+    if args.pnp:
+        # PnP reads source latents for EVERY timestep: synthesize the
+        # inversion cache the real pipeline would have produced.
+        from vidtome_tpu.io import artifacts
+        import numpy as _np
+
+        ldir = artifacts.get_latents_dir("/tmp/bench/latents",
+                                         bundle.model_key)
+        rng = _np.random.default_rng(7)
+        for t in gen.scheduler.timesteps:
+            p = artifacts.latent_path(ldir, int(t))
+            if not os.path.exists(p):
+                artifacts.save_latent(
+                    ldir, int(t),
+                    rng.standard_normal(
+                        (args.frames, latent, latent, 4)).astype(
+                        _np.float32))
+        gen.latents_dir = ldir
+        gen.frame_ids = list(range(args.frames))
 
     # Warmup: compile both bank variants + ddim + decode.
     t0 = time.time()
@@ -241,14 +268,15 @@ def main():
 
     n_chunks = latents.shape[0] // gen.chunk_size
     unet = gen.unet
-    x_in = jnp.concatenate([latents[:4], latents[:4]])
+    lanes = gen.num_lanes  # 3 with PnP (source, uncond, cond), else 2
+    x_in = jnp.concatenate([latents[:4]] * lanes)
     ctx_in = jnp.repeat(context, 4, axis=0)
 
     @jax.jit
     def _probe_init(params, x, ctx, key):
         return unet.apply({"params": params}, x, jnp.asarray(500), ctx,
                           tome_call=ToMeCall(key=key, bank_mode="init"),
-                          num_lanes=2, mutable=["tome_bank"])
+                          num_lanes=lanes, mutable=["tome_bank"])
 
     _, probe_mut = _probe_init(gen.unet_params, x_in, ctx_in,
                                jax.random.key(0))
@@ -259,7 +287,7 @@ def main():
         return unet.apply({"params": params, "tome_bank": banks}, x,
                           jnp.asarray(500), ctx,
                           tome_call=ToMeCall(key=key, bank_mode="merge"),
-                          num_lanes=2, mutable=["tome_bank"])[0]
+                          num_lanes=lanes, mutable=["tome_bank"])[0]
 
     f_init = _xla_flops(_probe_init, gen.unet_params, x_in, ctx_in,
                         jax.random.key(0))
@@ -283,7 +311,9 @@ def main():
         "inversion_fps": round(args.frames / inv_elapsed, 4),
         "gen_tflops": round(gen_tflops, 1),
         "gen_mfu": round(gen_mfu, 4),
-        "mode": "ldm-fast" if args.ldm else "default",
+        "mode": ("pnp" if args.pnp else "")
+                + ("ldm-fast" if args.ldm else "")
+                or "default",
     }
     print(f"[bench] {args.frames} frames x {args.steps} steps in "
           f"{elapsed:.2f}s (checksum {checksum:.2f})", file=sys.stderr)
