@@ -196,8 +196,9 @@ def main():
         from vidtome_tpu.io import artifacts
         import numpy as _np
 
-        ldir = artifacts.get_latents_dir("/tmp/bench/latents",
-                                         bundle.model_key)
+        # key by frame count so a --quick run's cache can't collide
+        ldir = artifacts.get_latents_dir(
+            f"/tmp/bench/latents_f{args.frames}", bundle.model_key)
         rng = _np.random.default_rng(7)
         for t in gen.scheduler.timesteps:
             p = artifacts.latent_path(ldir, int(t))
