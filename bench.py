@@ -196,9 +196,11 @@ def main():
         from vidtome_tpu.io import artifacts
         import numpy as _np
 
-        # key by frame count so a --quick run's cache can't collide
+        # key by frame count AND resolution so runs with different
+        # --frames/--size can't index each other's stale caches
         ldir = artifacts.get_latents_dir(
-            f"/tmp/bench/latents_f{args.frames}", bundle.model_key)
+            f"/tmp/bench/latents_f{args.frames}_s{args.size}",
+            bundle.model_key)
         rng = _np.random.default_rng(7)
         for t in gen.scheduler.timesteps:
             p = artifacts.latent_path(ldir, int(t))
@@ -312,9 +314,9 @@ def main():
         "inversion_fps": round(args.frames / inv_elapsed, 4),
         "gen_tflops": round(gen_tflops, 1),
         "gen_mfu": round(gen_mfu, 4),
-        "mode": ("pnp" if args.pnp else "")
-                + ("ldm-fast" if args.ldm else "")
-                or "default",
+        "mode": "+".join([m for m, on in (("pnp", args.pnp),
+                                          ("ldm-fast", args.ldm)) if on]
+                         ) or "default",
     }
     print(f"[bench] {args.frames} frames x {args.steps} steps in "
           f"{elapsed:.2f}s (checksum {checksum:.2f})", file=sys.stderr)

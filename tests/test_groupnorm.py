@@ -67,8 +67,7 @@ def test_reference_matches_flax_4d():
 
 
 def test_dispatcher_fallbacks():
-    """Non-TPU backends and over-VMEM slabs take the XLA path; output is
-    identical either way."""
+    """Non-TPU backends take the XLA path; output matches flax."""
     key = jax.random.key(6)
     x = jax.random.normal(key, (1, 32, 32, 64), jnp.float32)
     scale = jnp.ones((64,))
@@ -77,3 +76,24 @@ def test_dispatcher_fallbacks():
     want = _flax_gn(x, scale, bias, 32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_eligibility_guards():
+    """Kernel only engages for large, lane-friendly, moderate-width slabs;
+    the env var is a hard off switch."""
+    from vidtome_tpu.ops.groupnorm import pallas_eligible
+
+    big = jnp.zeros((1, 256, 128, 128))       # rows 32768 >= threshold
+    assert pallas_eligible(big, use_pallas=True)
+    small = jnp.zeros((1, 64, 64, 320))       # UNet-scale: stays XLA/flax
+    assert not pallas_eligible(small, use_pallas=True)
+    wide = jnp.zeros((1, 256, 128, 2560))     # skip-concat width: too wide
+    assert not pallas_eligible(wide, use_pallas=True)
+    assert not pallas_eligible(big, use_pallas=False)
+    import os
+
+    os.environ["VIDTOME_DISABLE_PALLAS_GN"] = "1"
+    try:
+        assert not pallas_eligible(big, use_pallas=True)
+    finally:
+        del os.environ["VIDTOME_DISABLE_PALLAS_GN"]

@@ -69,6 +69,7 @@ class FusedGroupNorm(nn.Module):
     num_groups: int
     epsilon: float = 1e-5
     silu: bool = False
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
@@ -78,7 +79,7 @@ class FusedGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         return group_norm(x, scale, bias, self.num_groups, self.epsilon,
-                          silu=self.silu)
+                          silu=self.silu, use_pallas=self.use_pallas)
 
 
 def _group_norm(x, name, num_groups=32, eps=1e-5, silu=False,
@@ -90,21 +91,14 @@ def _group_norm(x, name, num_groups=32, eps=1e-5, silu=False,
     UNet-scale shapes (in-graph: 458ms/step flax vs 484 pallas vs 567
     hand-written XLA formula).  Clamps the group count for tiny test
     configs (SD channel counts are always multiples of 32)."""
-    from vidtome_tpu.ops import groupnorm as gn_ops
+    from vidtome_tpu.ops.groupnorm import pallas_eligible
 
     groups = num_groups
     while x.shape[-1] % groups != 0:
         groups //= 2
-    rows = 1
-    for d in x.shape[1:-1]:
-        rows *= d
-    eligible = (
-        (jax.default_backend() == "tpu" if use_pallas is None
-         else use_pallas)
-        and rows % 8 == 0 and rows >= gn_ops._MIN_PALLAS_ROWS)
-    if eligible:
+    if pallas_eligible(x, use_pallas):
         return FusedGroupNorm(num_groups=groups, epsilon=eps, silu=silu,
-                              name=name)(x)
+                              use_pallas=use_pallas, name=name)(x)
     y = nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=x.dtype,
                      name=name)(x)
     return nn.silu(y) if silu else y

@@ -150,18 +150,37 @@ def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-5,
 # ~50us of per-call overhead x ~480 small GroupNorms per step outweighs
 # the saved reduce).  128^2 spatial is the crossover region.
 _MIN_PALLAS_ROWS = 16384
+# Channel-width cap: a row tile is [<=1024, Cp] with an fp32 working copy
+# (~6 bytes/elem), so very wide norms (e.g. the UNet's C=2560 skip-concat
+# inputs — which are below the row threshold anyway) stay off the kernel
+# rather than brushing the scoped-VMEM limit.
+_MAX_PALLAS_CHANNELS = 1024
+
+
+def pallas_eligible(x, use_pallas: bool | None = None) -> bool:
+    """Single source of truth for the kernel-vs-XLA dispatch (layers.py
+    consults this too, so module selection and op dispatch cannot
+    drift).  VIDTOME_DISABLE_PALLAS_GN=1 is the runtime escape hatch."""
+    import os
+
+    if os.environ.get("VIDTOME_DISABLE_PALLAS_GN"):
+        return False
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    rows = int(np.prod(x.shape[1:-1]))
+    return (bool(use_pallas) and rows % 8 == 0
+            and rows >= _MIN_PALLAS_ROWS
+            and x.shape[-1] <= _MAX_PALLAS_CHANNELS)
 
 
 def group_norm(x, scale, bias, num_groups: int, eps: float = 1e-5,
                silu: bool = False, use_pallas: bool | None = None):
     """Dispatch: Pallas statistics kernel on TPU for large spatial slabs
     (VAE encode/decode), XLA formula otherwise.  x: [B, ..., C]."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    if not pallas_eligible(x, use_pallas):
+        return reference_group_norm(x, scale, bias, num_groups, eps, silu)
     B, C = x.shape[0], x.shape[-1]
     rows = int(np.prod(x.shape[1:-1]))
-    if (not use_pallas or rows % 8 != 0 or rows < _MIN_PALLAS_ROWS):
-        return reference_group_norm(x, scale, bias, num_groups, eps, silu)
     y = fused_group_norm(x.reshape(B, rows, C), scale, bias, num_groups,
                          eps, silu)
     return y.reshape(x.shape)

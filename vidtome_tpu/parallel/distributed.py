@@ -28,23 +28,31 @@ _initialized = False
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> bool:
+                         process_id: Optional[int] = None,
+                         force: bool = False) -> bool:
     """Idempotent ``jax.distributed.initialize`` wrapper.
 
     On TPU pods all arguments autodetect from the runtime environment; on
     manual clusters pass all three.  Returns True when the distributed
     runtime is (now) initialized, False when it was skipped because this
-    is a single-process run with no coordinator configured."""
+    is a single-process run with no coordinator configured.  ``force``
+    (set when the user explicitly configured ``tpu.multihost: true``)
+    skips the environment-marker heuristic and always attempts
+    initialization — jax's own autodetection covers platforms (e.g.
+    GCE-metadata-based Cloud TPU slices) the markers can't see, and an
+    explicit request should fail loudly rather than silently run
+    single-host."""
     global _initialized
     if _initialized:
         return True
     import jax
 
-    if (coordinator_address is None and num_processes is None
+    if (not force and coordinator_address is None and num_processes is None
             and process_id is None):
-        # Autodetect path: only meaningful under a multi-host TPU runtime
-        # or a cluster env (SLURM/GKE) jax knows how to introspect.  A
-        # plain single-process run has nothing to initialize.
+        # Heuristic autodetect path for implicit callers: only attempt
+        # under a multi-host TPU runtime or a cluster env (SLURM/GKE)
+        # jax knows how to introspect.  A plain single-process run has
+        # nothing to initialize.
         import os
 
         markers = ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
@@ -70,4 +78,5 @@ def initialize_from_config(tpu_cfg: Any) -> bool:
     return initialize_multihost(
         coordinator_address=tpu_cfg.get("coordinator"),
         num_processes=int(np_) if np_ is not None else None,
-        process_id=int(pid) if pid is not None else None)
+        process_id=int(pid) if pid is not None else None,
+        force=True)
