@@ -133,6 +133,11 @@ def main():
                              "(reference patch.py:104-114) — ~12%% fewer "
                              "FLOPs, merged-away tokens take their dst's "
                              "attn2/ff output")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 (W8A8) quantized serving: UNet hot "
+                             "matmuls/convs run s8xs8->s32 on the MXU "
+                             "(~2x bf16 peak on v5e) with dynamic "
+                             "activation scales — see ops/quant.py")
     parser.add_argument("--pnp", action="store_true",
                         help="PnP mode (the reference's flagship dog.yaml "
                              "config): 3 CFG lanes with source-branch "
@@ -177,6 +182,7 @@ def main():
             "align_batch": False, "save_frame": False,
             "share_match": not args.no_share_match,
             "merge_crossattn": args.ldm, "merge_ff": args.ldm,
+            "quant": "int8" if args.int8 else "none",
         },
     })
     gen = Generator(bundle, cfg)
@@ -230,7 +236,7 @@ def main():
         "steps": args.steps, "save_steps": args.steps,
         "save_intermediate": False, "batch_size": 8, "force": True,
         "recon": False, "control": "none", "control_scale": 1.0,
-        "n_frames": None,
+        "n_frames": None, "quant": "int8" if args.int8 else "none",
     }
     inv = Inverter(bundle, inv_cfg)
     conds = inv.text(["benchmark prompt"] * args.frames)
@@ -315,6 +321,7 @@ def main():
         "gen_tflops": round(gen_tflops, 1),
         "gen_mfu": round(gen_mfu, 4),
         "mode": "+".join([m for m, on in (("pnp", args.pnp),
+                                          ("int8", args.int8),
                                           ("ldm-fast", args.ldm)) if on]
                          ) or "default",
     }

@@ -6,8 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vidtome_tpu.ops.groupnorm import (fused_group_norm, group_norm,
-                                       reference_group_norm)
+from vidtome_tpu.ops.groupnorm import (full_group_norm, fused_group_norm,
+                                       group_norm, reference_group_norm)
 
 
 def _flax_gn(x, scale, bias, groups, eps=1e-5):
@@ -28,6 +28,26 @@ def test_matches_flax(B, rows, C, G):
     bias = jax.random.normal(jax.random.fold_in(key, 2), (C,))
     want = _flax_gn(x, scale, bias, G)
     got = fused_group_norm(x, scale, bias, G, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("B,rows,C,G,silu", [
+    (2, 64, 320, 32, False),    # L0-ish tile
+    (2, 64, 320, 32, True),     # fused activation
+    (1, 128, 128, 32, False),   # lane-aligned
+    (2, 256, 640, 32, True),    # multi-tile rows (block 64/128/256)
+    (2, 100, 64, 32, False),    # rows <= 1024 single-tile fallback path
+])
+def test_full_gn_matches_flax(B, rows, C, G, silu):
+    key = jax.random.key(11)
+    x = jax.random.normal(key, (B, rows, C), jnp.float32) * 1.5 + 0.25
+    scale = jax.random.normal(jax.random.fold_in(key, 1), (C,)) + 1.0
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (C,))
+    want = _flax_gn(x, scale, bias, G)
+    if silu:
+        want = jax.nn.silu(want)
+    got = full_group_norm(x, scale, bias, G, silu=silu, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 

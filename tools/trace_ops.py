@@ -29,29 +29,67 @@ from vidtome_tpu.models.registry import init_model
 from vidtome_tpu.pipeline.generator import Generator
 
 
-def _classify(name: str) -> str:
-    """Bucket an XLA fusion/op name into a component family."""
-    n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n:
-        return "pallas-kernel"
-    if "conv" in n:
+def _event_stats(ev) -> dict:
+    """Best-effort extraction of an xplane event's stats as a dict."""
+    out = {}
+    try:
+        for s in ev.stats:
+            try:  # stat may be a (name, value) pair or an object
+                k, v = s
+            except Exception:
+                k = getattr(s, "name", None)
+                v = getattr(s, "value", None)
+            if k is not None:
+                out[str(k)] = v
+    except Exception:
+        pass
+    return out
+
+
+def _classify(text: str, stats: dict | None = None) -> str:
+    """Bucket an XLA op event into a component family.
+
+    xplane event names are FULL HLO instruction strings (name, shape,
+    opcode, operand list), so substring matching over the whole text
+    misattributes (operand names mention custom-calls/converts).  Parse
+    the instruction name + opcode instead.  XLA:TPU names dot-rooted
+    fusions with the default "fusion.N"; elementwise/reduce-rooted ones
+    get descriptive names (add_add_fusion, convert_reduce_fusion...)."""
+    m = re.match(r"%?([\w.\-]+) = .*? ([a-z\-]+)\(", text)
+    name, opcode = ((m.group(1), m.group(2)) if m
+                    else (text.split()[0].lstrip("%"), "?"))
+    base = re.sub(r"\.\d+$", "", name)
+    if opcode == "custom-call":
+        return f"pallas:{base}"
+    if opcode == "convolution":
         return "conv"
-    if re.search(r"\bdot\b|gemm|matmul", n):
+    if opcode == "dot":
         return "matmul"
-    if "sort" in n or "top-k" in n or "topk" in n:
-        return "sort/topk"
-    if "gather" in n or "scatter" in n:
-        return "gather/scatter"
-    if "reduce" in n:
-        return "reduce"
-    if "fusion" in n:
-        return "fusion(elementwise)"
-    if "copy" in n or "transpose" in n or "bitcast" in n:
-        return "copy/transpose"
-    return "other"
+    if opcode == "fusion":
+        if base == "fusion":
+            return "matmul-fusion"
+        root = base.replace("_fusion", "")
+        if "convolution" in root:
+            return "conv-fusion"
+        if "reduce" in root:
+            return "reduce-fusion"
+        return "eltwise-fusion"
+    if opcode in ("copy", "transpose", "bitcast", "reshape", "pad",
+                  "slice", "broadcast"):
+        return "copy/layout"
+    if "sort" in opcode:
+        return "sort"
+    return f"op:{opcode}"
 
 
 def main():
+    import sys
+    int8 = "--int8" in sys.argv
+    gn_mode = next((a.split("=")[1] for a in sys.argv
+                    if a.startswith("--gn=")), None)
+    if gn_mode:
+        os.environ["VIDTOME_GN_MODE"] = gn_mode
+    ldm = "--ldm" in sys.argv
     frames, steps, size = 32, 50, 512
     latent = size // 8
     bundle = init_model(sd_version="1.5", weight_dtype="bf16")
@@ -67,6 +105,8 @@ def main():
             "local_merge_ratio": 0.9, "merge_global": True,
             "global_merge_ratio": 0.8, "global_rand": 0.5,
             "align_batch": False, "save_frame": False,
+            "quant": "int8" if int8 else "none",
+            "merge_crossattn": ldm, "merge_ff": ldm,
         },
     })
     gen = Generator(bundle, cfg)
@@ -134,7 +174,7 @@ def main():
                 # collapse "%fusion.1234" -> "fusion" family for ranking
                 fam = re.sub(r"\.\d+.*$", "", ev.name.lstrip("%"))
                 by_name[fam] += dur
-                by_cat[_classify(ev.name)] += dur
+                by_cat[_classify(ev.name, _event_stats(ev))] += dur
                 total += dur
     if total == 0.0:
         # fall back: dump plane/line names to adapt the filter

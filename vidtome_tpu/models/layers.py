@@ -20,9 +20,83 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from flax.linen import dtypes as nn_dtypes
+
 from vidtome_tpu.core import merge as merge_ops
 from vidtome_tpu.models.tome import ToMeCall, ToMeConfig
+from vidtome_tpu.ops import quant as quant_ops
 from vidtome_tpu.ops.attention import attention
+
+
+class QDense(nn.Module):
+    """nn.Dense drop-in with an optional int8 (W8A8) serving path.
+
+    Parameter names/shapes are identical to nn.Dense (kernel [in, out],
+    bias [out]), so converted checkpoints load unchanged.  When the caller
+    provides a "qparams" collection entry for this module (produced by
+    ops/quant.quantize_params), the matmul runs s8 x s8 -> s32 on the MXU
+    with dynamic per-row activation scales; otherwise the standard bf16
+    path runs.  Policy (which layers quantize) lives in quantize_params,
+    not here."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,)) if self.use_bias else None)
+        if self.has_variable("qparams", "kernel_q"):
+            kq = self.get_variable("qparams", "kernel_q")
+            sc = self.get_variable("qparams", "scale")
+            y = quant_ops.int8_dense(x, kq, sc, self.dtype)
+            return y if bias is None else y + bias.astype(self.dtype)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        x, kernel, bias = nn_dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        y = jnp.dot(x, kernel)
+        return y if bias is None else y + bias
+
+
+class QConv(nn.Module):
+    """nn.Conv drop-in (NHWC, HWIO kernel) with an optional int8 path —
+    same contract as QDense.  Covers the argument subset this model zoo
+    uses: int-or-pair strides, int / 'SAME' / 'VALID' padding."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: Any = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        strides = (self.strides if isinstance(self.strides, (tuple, list))
+                   else (self.strides, self.strides))
+        if isinstance(self.padding, int):
+            padding = [(self.padding, self.padding)] * 2
+        else:
+            padding = self.padding
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,)) if self.use_bias else None)
+        if self.has_variable("qparams", "kernel_q"):
+            kq = self.get_variable("qparams", "kernel_q")
+            sc = self.get_variable("qparams", "scale")
+            y = quant_ops.int8_conv(x, kq, sc, strides, padding, self.dtype)
+            return y if bias is None else y + bias.astype(self.dtype)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features))
+        x, kernel, bias = nn_dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, kernel, strides, padding,
+                                         dimension_numbers=dn)
+        return y if bias is None else y + bias
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
@@ -53,9 +127,9 @@ class TimestepEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, emb):
-        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = QDense(self.dim, dtype=self.dtype, name="linear_1")(emb)
         emb = nn.silu(emb)
-        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(emb)
+        emb = QDense(self.dim, dtype=self.dtype, name="linear_2")(emb)
         return emb
 
 
@@ -118,21 +192,21 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x, temb, inject: Optional[jnp.ndarray] = None,
                  num_lanes: int = 1):
         h = _group_norm(x, "norm1", silu=True)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
-        temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
-                             name="time_emb_proj")(nn.silu(temb))
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                  name="conv1")(h)
+        temb_proj = QDense(self.out_channels, dtype=self.dtype,
+                           name="time_emb_proj")(nn.silu(temb))
         h = h + temb_proj[:, None, None, :]
         h = _group_norm(h, "norm2", silu=True)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                  name="conv2")(h)
 
         if inject is not None and num_lanes > 1:
             h = inject_lane0(h, num_lanes, inject)
 
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
+            x = QConv(self.out_channels, (1, 1), dtype=self.dtype,
+                      name="conv_shortcut")(x)
         return x + h
 
 
@@ -142,8 +216,8 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+        return QConv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                     dtype=self.dtype, name="conv")(x)
 
 
 class Upsample2D(nn.Module):
@@ -154,8 +228,8 @@ class Upsample2D(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv")(x)
+        return QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                     name="conv")(x)
 
 
 def inject_lane0(x: jnp.ndarray, num_lanes: int, flag: jnp.ndarray) -> jnp.ndarray:
@@ -193,9 +267,9 @@ class CrossAttention(nn.Module):
         is_cross = context is not None
         ctx = context if is_cross else x
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
         if share_qk is not None and num_lanes > 1:
             q = inject_lane0(q, num_lanes, share_qk)
@@ -212,7 +286,7 @@ class CrossAttention(nn.Module):
             kv_valid_len=kv_valid_len, use_pallas=self.use_pallas,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
-        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        return QDense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -223,12 +297,12 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h = QDense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         # exact (erf) gelu: diffusers GEGLU uses F.gelu, not the tanh
         # approximation — keeps converted checkpoints numerically faithful
         h = h * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+        return QDense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
 def _layer_norm(x, name, eps=1e-5):
@@ -431,10 +505,10 @@ class Transformer2D(nn.Module):
         h = _group_norm(x, "norm", eps=1e-6)
         if self.use_linear_projection:
             h = h.reshape(B, H * W, C)
-            h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)
+            h = QDense(self.channels, dtype=self.dtype, name="proj_in")(h)
         else:
-            h = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
-                        name="proj_in")(h)
+            h = QConv(self.channels, (1, 1), dtype=self.dtype,
+                      name="proj_in")(h)
             h = h.reshape(B, H * W, self.channels)
 
         for i in range(self.depth):
@@ -447,10 +521,10 @@ class Transformer2D(nn.Module):
               num_lanes=num_lanes)
 
         if self.use_linear_projection:
-            h = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(h)
+            h = QDense(self.channels, dtype=self.dtype, name="proj_out")(h)
             h = h.reshape(B, H, W, self.channels)
         else:
             h = h.reshape(B, H, W, self.channels)
-            h = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
-                        name="proj_out")(h)
+            h = QConv(self.channels, (1, 1), dtype=self.dtype,
+                      name="proj_out")(h)
         return h + residual

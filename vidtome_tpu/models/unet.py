@@ -23,8 +23,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vidtome_tpu.models.layers import (CrossAttention, Downsample2D,
-                                       ResnetBlock2D, TimestepEmbedding,
-                                       Transformer2D, Upsample2D, _group_norm,
+                                       QConv, ResnetBlock2D,
+                                       TimestepEmbedding, Transformer2D,
+                                       Upsample2D, _group_norm,
                                        timestep_embedding)
 from vidtome_tpu.models.tome import ToMeCall, ToMeConfig
 
@@ -180,7 +181,7 @@ class UNet2DConditionModel(nn.Module):
             temb = temb + TimestepEmbedding(ch0 * 4, dtype=self.dtype,
                                             name="add_embedding")(aug)
 
-        h = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        h = QConv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         skips = [h]
 
         # ---- down blocks ----------------------------------------------------
@@ -246,6 +247,6 @@ class UNet2DConditionModel(nn.Module):
                                name=f"up_{i}_upsample")(h)
 
         h = _group_norm(h, "conv_norm_out", silu=True)
-        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv_out")(h)
+        h = QConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                  name="conv_out")(h)
         return h

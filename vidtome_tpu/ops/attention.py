@@ -149,7 +149,10 @@ def flash_attention(
     # spot; fall back to smaller divisors before padding.
     def pick_block(S, requested):
         cap = requested or 1024
-        for b in (1024, 512, 256):
+        # honor an explicitly requested size first (e.g. block_q=2048)
+        # before walking the default ladder
+        candidates = ((cap,) if requested else ()) + (1024, 512, 256)
+        for b in candidates:
             if b <= cap and S % b == 0:
                 return b
         return min(cap, _round_up(S, 128))

@@ -1,0 +1,169 @@
+"""Int8 (W8A8) quantized serving path for the UNet hot matmuls/convs.
+
+The round-2 roofline (docs/DESIGN.md §8) proved the bf16 graph caps at
+~2.9 frames/s even at 100% MFU; v5e executes s8 x s8 -> s32 at ~2x the
+bf16 MXU rate (394 TOPS vs 197 TFLOP/s), so quantized serving is the one
+lever that multiplies throughput instead of shaving overheads.  Role
+equivalent in the reference: the fp16 serving path
+(`/root/reference/utils/utils.py:42-66` — ``float_precision: fp16``);
+this is the TPU-native next notch on the same speed/quality dial.
+
+Scheme (established W8A8 diffusion practice):
+
+  * weights — symmetric per-output-channel int8, quantized ONCE at model
+    load (`quantize_params`); int8 weights also halve the per-call HBM
+    weight traffic.
+  * activations — symmetric dynamic int8: per-row (token) scales for
+    matmuls, per-sample scales for convs.  Dynamic scales cost one extra
+    elementwise pass but need no calibration data (zero-egress: there are
+    no calibration clips to run), and per-row granularity absorbs the
+    activation outliers that break static per-tensor schemes.
+  * accumulation — int32 on the MXU; dequant (s_act * s_weight) and bias
+    applied in fp32 on the way out, then cast back to bf16.
+
+Policy lives entirely in `quantize_params` (which layers get int8);
+the QDense/QConv modules in models/layers.py consume whatever the
+"qparams" collection provides and fall back to the bf16 path otherwise,
+so one model definition serves both modes.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel quantization.  ``w``: [K, N] (dense)
+    or [kh, kw, Cin, Cout] (conv, HWIO) — the last axis is the output
+    channel.  Returns (int8 weights, fp32 per-channel scale).  Pure jnp:
+    runs on device (a numpy version would round-trip the full weight set
+    through the host, ~1.7GB over a tunneled backend)."""
+    wf = jnp.asarray(w).astype(jnp.float32)
+    reduce_axes = tuple(range(wf.ndim - 1))
+    amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=reduce_axes), _EPS)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_acts(x: jnp.ndarray, axes: tuple[int, ...]
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric activation quantization; ``axes`` are reduced to
+    one scale (e.g. the feature axis for per-row).  Returns (int8, fp32
+    scale broadcastable against x)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_dense(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
+               out_dtype: Any) -> jnp.ndarray:
+    """x: [..., K] bf16/fp32; w_q: [K, N] int8 -> [..., N] out_dtype.
+    Per-row activation scales."""
+    q, s = quantize_acts(x, axes=(x.ndim - 1,))
+    y = jax.lax.dot_general(
+        q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (s * w_scale)).astype(out_dtype)
+
+
+def int8_conv(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
+              strides, padding, out_dtype: Any) -> jnp.ndarray:
+    """x: [B, H, W, Cin]; w_q: [kh, kw, Cin, Cout] int8 (HWIO).
+    Per-sample activation scales (every output pixel of sample b reads
+    only sample b, so the scale factors out of the convolution)."""
+    dn = jax.lax.conv_dimension_numbers(x.shape, w_q.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    q, s = quantize_acts(x, axes=(1, 2, 3))
+    y = jax.lax.conv_general_dilated(
+        q, w_q, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (s * w_scale)).astype(out_dtype)
+
+
+# ----------------------------------------------------------------------
+# Parameter-tree transform
+
+# Layers kept in bf16 by default:
+#   * embeddings and per-call-tiny projections (M=8 rows — MXU-underfilled,
+#     nothing to win);
+#   * the latent-facing conv_in and eps-producing conv_out (output-quality
+#     critical, negligible compute);
+#   * the GEGLU down-projection ff/proj_out — measured on v5e, quantizing
+#     it COSTS ~50ms/step: its activation input is the wide hidden
+#     (h*gelu(gate), 2560-5120 lanes), so the dynamic amax + quantize adds
+#     three full passes over an 84-167MB tensor per block (26.7+13.5+6.6ms
+#     of amax fusions alone in the int8 trace), swamping the 2x MXU win.
+#     Every other quantized layer's amax reads a narrow (<=1280) input.
+# Everything else — attention q/k/v/out, GEGLU up-projection, transformer
+# proj, resnet and up/down-sample convs — is the FLOP mass and quantizes.
+DEFAULT_EXCLUDE = (
+    r"time_embedding|add_embedding|time_emb_proj|"
+    r"(^|/)conv_in(/|$)|(^|/)conv_out(/|$)|(^|/)ff/proj_out(/|$)"
+)
+
+
+def quantize_params(params, exclude: str | None = DEFAULT_EXCLUDE,
+                    include: str | None = None):
+    """Split a bf16 parameter tree into (residual params, qparams).
+
+    Walks the nested dict; every "kernel" leaf of ndim 2/4 whose path does
+    not match ``exclude`` (and matches ``include`` if given) moves into
+    the qparams tree as {kernel_q: int8, scale: fp32[out]} and is REMOVED
+    from the params copy (the QDense/QConv bf16 branch never requests it,
+    and keeping both trees resident would waste ~1.7GB HBM).  Biases and
+    norms stay in params."""
+    ex = re.compile(exclude) if exclude else None
+    inc = re.compile(include) if include else None
+    to_quant: dict = {}
+
+    def walk(node, qnode, path):
+        out = {}
+        for k, v in node.items():
+            p = f"{path}/{k}" if path else k
+            if isinstance(v, dict):
+                sub_q: dict = {}
+                sub = walk(v, sub_q, p)
+                if sub:
+                    out[k] = sub
+                if sub_q:
+                    qnode[k] = sub_q
+            elif (k == "kernel" and hasattr(v, "ndim")
+                  and v.ndim in (2, 4)
+                  and (ex is None or not ex.search(p))
+                  and (inc is None or inc.search(p))):
+                qnode[k] = v
+            else:
+                out[k] = v
+        return out
+
+    residual = walk(dict(params), to_quant, "")
+    # numeric work in ONE jitted dispatch over the selected subtree
+    # (per-leaf eager quantization would be hundreds of round trips on a
+    # tunneled backend)
+    pairs = jax.jit(
+        lambda t: jax.tree.map(quantize_weight, t))(to_quant)
+
+    def expand(node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = expand(v)
+            else:  # (kernel_q, scale) pair at a "kernel" key
+                out["kernel_q"], out["scale"] = v
+        return out
+
+    return residual, expand(pairs)
+
+
+def count_quantized(qparams) -> int:
+    return sum(1 for leaf in jax.tree.leaves(qparams)
+               if leaf.dtype == jnp.int8)

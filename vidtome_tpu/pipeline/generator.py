@@ -124,6 +124,25 @@ class Generator:
         self._params = {"unet": self.unet_params}
         if self.use_controlnet:
             self._params["controlnet"] = bundle.controlnet_params
+
+        # Int8 (W8A8) serving: split the UNet tree into residual bf16
+        # params + int8 qparams once at construction; the QDense/QConv
+        # modules pick up the "qparams" collection at apply time.  The
+        # TPU-native analog of the reference's fp16 serving dial
+        # (utils/utils.py:42-66) — see ops/quant.py.
+        self.quant = str(gene.get("quant", config.get("quant", "none"))
+                         or "none").lower()
+        if self.quant in ("int8", "w8a8"):
+            from vidtome_tpu.ops import quant as quant_ops
+
+            res, qp = quant_ops.quantize_params(self._params["unet"])
+            self._params["unet"] = res
+            self._params["unet_q"] = qp
+            print(f"[INFO] int8 serving: quantized "
+                  f"{quant_ops.count_quantized(qp)} UNet weight tensors")
+        elif self.quant not in ("none", "false", "off"):
+            raise ValueError(f"unknown quant mode {self.quant!r} "
+                             "(choices: none, int8)")
         self._lane_constraint = lambda x: x
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -254,6 +273,8 @@ class Generator:
 
             tome_call = ToMeCall(key=key, bank_mode=bank_mode)
             variables = {"params": unet_params}
+            if "unet_q" in params:
+                variables["qparams"] = params["unet_q"]
             if banks is not None:
                 variables["tome_bank"] = banks
             pnp_kwargs = {}
@@ -486,7 +507,13 @@ class Generator:
         ctx, pooled = context
         h, w = float(self.height), float(self.width)
         if self.bundle.unet_config.addition_num_time_ids == 5:
-            neg, pos = aesthetic or (2.5, 6.0)
+            # standalone refiner runs (sd_version: xl-refiner as the primary
+            # model) read configured scores; the two-stage path passes them
+            # explicitly via ``aesthetic``
+            ref_cfg = self.gene.get("refiner", None) or {}
+            neg, pos = aesthetic or (
+                float(ref_cfg.get("negative_aesthetic_score", 2.5)),
+                float(ref_cfg.get("aesthetic_score", 6.0)))
             scores = [neg] * (ctx.shape[0] - 1) + [pos]  # cond lane last
             time_ids = jnp.asarray(
                 [[h, w, 0.0, 0.0, s] for s in scores], jnp.float32)

@@ -76,6 +76,16 @@ class Inverter:
 
         unet = bundle.make_unet(use_pallas=use_pallas)
         self._params = {"unet": bundle.unet_params}
+        # Int8 (W8A8) serving for the inversion UNet (same mechanism as
+        # the Generator; see ops/quant.py).
+        self.quant = str(inv.get("quant", config.get("quant", "none"))
+                         or "none").lower()
+        if self.quant in ("int8", "w8a8"):
+            from vidtome_tpu.ops import quant as quant_ops
+
+            res, qp = quant_ops.quantize_params(self._params["unet"])
+            self._params["unet"] = res
+            self._params["unet_q"] = qp
         use_controlnet = self.control not in ("none", "pnp")
         if use_controlnet:
             controlnet = bundle.make_controlnet(use_pallas=use_pallas)
@@ -126,8 +136,10 @@ class Inverter:
                     {"params": params["controlnet"]}, x, t, context,
                     control_images, conditioning_scale=control_scale)
                 kwargs.update(down_residuals=down_r, mid_residual=mid_r)
-            return unet.apply({"params": params["unet"]}, x, t, context,
-                              **kwargs)
+            variables = {"params": params["unet"]}
+            if "unet_q" in params:
+                variables["qparams"] = params["unet_q"]
+            return unet.apply(variables, x, t, context, **kwargs)
 
         bs = self.batch_size
 
