@@ -310,6 +310,18 @@ def main():
     gen_tflops = flops_per_step * args.steps / t_sample / 1e12
     gen_mfu = gen_tflops * 1e12 / V5E_BF16_PEAK
 
+    # PnP sidecar measurement (the reference's flagship dog.yaml workload,
+    # 3 CFG lanes + per-step source latents): measured every default run
+    # so the round JSON always carries the number.  Two 10-step blocks of
+    # the PnP sample loop, scaled to the full schedule.
+    pnp_fps = None
+    if not args.quick and not args.pnp:
+        try:
+            pnp_fps = _measure_pnp_fps(bundle, args, latent)
+        except Exception as e:  # measurement is auxiliary — never fatal
+            print(f"[bench] pnp sidecar failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     e2e_elapsed = inv_elapsed + elapsed
     result = {
         "metric": "edit_frames_per_sec_512p_50step_1xv5e",
@@ -325,6 +337,8 @@ def main():
                                           ("ldm-fast", args.ldm)) if on]
                          ) or "default",
     }
+    if pnp_fps is not None:
+        result["pnp_fps"] = round(pnp_fps, 4)
     print(f"[bench] {args.frames} frames x {args.steps} steps in "
           f"{elapsed:.2f}s (checksum {checksum:.2f})", file=sys.stderr)
     print(f"[bench] generation {gen_tflops:.0f} TFLOP/s = "
@@ -335,6 +349,73 @@ def main():
           f"end-to-end edit (invert+generate) "
           f"{args.frames / e2e_elapsed:.2f} frames/s", file=sys.stderr)
     print(json.dumps(result))
+
+
+def _measure_pnp_fps(bundle, args, latent):
+    """PnP-mode generation throughput: ms/step from two warm 10-step
+    blocks of the real PnP sample loop (3 lanes, injection flags, source
+    latents preloaded), scaled to the full schedule.  Decode time is
+    excluded (identical to the default mode's, already reported there)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vidtome_tpu.config import Config
+    from vidtome_tpu.core import chunk as chunking
+    from vidtome_tpu.pipeline.generator import Generator
+
+    cfg = Config({
+        "sd_version": "1.5", "height": args.size, "width": args.size,
+        "seed": 123, "work_dir": "/tmp/bench", "float_precision": "bf16",
+        "generation": {
+            "control": "pnp", "guidance_scale": 7.5,
+            "n_timesteps": args.steps, "negative_prompt": "ugly, blurry",
+            "prompt": {"edit": "benchmark prompt"},
+            "latents_path": "/tmp/bench", "output_path": "/tmp/bench",
+            "chunk_size": 4, "chunk_ord": "mix-4",
+            "local_merge_ratio": 0.9, "merge_global": True,
+            "global_merge_ratio": 0.8, "global_rand": 0.5,
+            "align_batch": False, "save_frame": False,
+            "quant": "int8" if args.int8 else "none",
+            "merge_crossattn": args.ldm, "merge_ff": args.ldm,
+        },
+    })
+    gen = Generator(bundle, cfg)
+    gen.n_frames = args.frames
+    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.depth = None
+    gen.control_images = None
+    x = jax.random.normal(jax.random.key(2),
+                          (gen.n_padded, latent, latent, 4), jnp.bfloat16)
+    context = gen.text.embed_cfg("a benchmark prompt", "ugly, blurry",
+                                 pnp=True)
+    t0 = _time.time()
+    gen.warmup(x, context)
+    print(f"[bench] pnp warmup/compile in {_time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    steps = gen.scheduler.num_steps
+    src = jnp.broadcast_to(x, (steps,) + x.shape)
+    zero = jnp.zeros((), bundle.dtype)
+    gs = jnp.asarray(7.5, jnp.float32)
+    n_chunks = x.shape[0] // 4
+    fidx = jnp.broadcast_to(
+        jnp.arange(x.shape[0], dtype=jnp.int32).reshape(n_chunks, 4),
+        (steps, n_chunks, 4))
+    block = gen._block_size()
+    t0 = _time.time()
+    y = jnp.copy(x)
+    for s in (0, block):
+        y = gen._sample_block(gen._params, y, jnp.asarray(s, jnp.int32),
+                              fidx, context, src, zero, zero, gs,
+                              n_steps=block)
+    _ = float(jnp.sum(y))
+    ms = (_time.time() - t0) / (2 * block) * 1e3
+    fps = args.frames / (ms / 1e3 * args.steps)
+    print(f"[bench] pnp sample {ms:.0f}ms/step -> {fps:.3f} frames/s",
+          file=sys.stderr)
+    return fps
 
 
 def bench_sdxl(args):

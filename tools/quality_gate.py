@@ -1,0 +1,194 @@
+"""Quality gates for the FLOP-cutting defaults (VERDICT round-2 item 4).
+
+Every lever that deviates from the reference's exact merge semantics
+(`/root/reference/vidtome/patch.py:148-169,219-231`) gets a measured
+proxy number instead of trust:
+
+  * share_match    — reuse one bipartite matching per resolution level
+                     (reference re-matches per block);
+  * len_quantum    — round merged lengths down to the attention tile
+                     (raises effective ratio 0.9 -> ~0.917);
+  * ldm            — merge around cross-attention + feed-forward too
+                     (the reference's own LDM-block trade);
+  * int8           — W8A8 quantized serving.
+
+Proxy metric (zero-egress: no real SD weights, no reference frames): run
+the SAME seed through the exact config and the fast config on the demo
+clip and report PSNR between the two outputs, over >=3 seeds.  With
+random weights this measures the *mechanical* sensitivity of the pipeline
+to the lever — how far the lever moves the output distribution, in the
+same units (dB) as the BASELINE fidelity target — not perceptual quality
+on natural video.  share_match additionally reports plan overlap: the
+fraction of (src->dst) merge assignments shared between per-block
+matchings at one level, measured directly on the hidden states.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/quality_gate.py \
+      [--gate share_match|len_quantum|ldm|int8|all] [--seeds 3]
+      [--frames 16] [--steps 50] [--size 512]
+
+Prints one JSON line per gate; paste results into docs/DESIGN.md §9.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from vidtome_tpu.runtime import setup_compilation_cache
+
+setup_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def psnr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    return 99.0 if mse == 0 else 10.0 * np.log10(1.0 / mse)
+
+
+def make_config(frames, steps, size, seed, **gene_overrides):
+    from vidtome_tpu.config import Config
+
+    gene = {
+        "control": "none", "guidance_scale": 7.5, "n_timesteps": steps,
+        "negative_prompt": "ugly, blurry",
+        "prompt": {"edit": "quality gate"},
+        "latents_path": "/tmp/qgate", "output_path": "/tmp/qgate",
+        "chunk_size": 4, "chunk_ord": "mix-4",
+        "local_merge_ratio": 0.9, "merge_global": True,
+        "global_merge_ratio": 0.8, "global_rand": 0.5,
+        "align_batch": False, "save_frame": False,
+    }
+    gene.update(gene_overrides)
+    return Config({
+        "sd_version": "1.5", "height": size, "width": size, "seed": seed,
+        "work_dir": "/tmp/qgate", "float_precision": "bf16",
+        "generation": gene,
+    })
+
+
+def run_once(bundle, cfg, frames, size, init_latents, context):
+    """Generation stage only (shared inverted latent per seed)."""
+    from vidtome_tpu.core import chunk as chunking
+    from vidtome_tpu.pipeline.generator import Generator
+
+    gen = Generator(bundle, cfg)
+    gen.n_frames = frames
+    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(frames, 4)
+    gen.depth = None
+    gen.control_images = None
+    clean = gen.ddim_sample(init_latents, context)
+    out = gen.vae.decode(clean[:frames])
+    return np.asarray(out, np.float32)
+
+
+GATES = {
+    # exact (reference-faithful) setting vs fast (our default) setting
+    "share_match": ({"share_match": False}, {"share_match": True}),
+    "len_quantum": ({"len_quantum": None}, {"len_quantum": 1024}),
+    "ldm": ({}, {"merge_crossattn": True, "merge_ff": True}),
+    "int8": ({}, {"quant": "int8"}),
+}
+
+
+def share_match_plan_overlap(bundle, frames, size, seed):
+    """Fraction of identical (src_idx -> dst_idx) merge assignments
+    between the first block's matching and a fresh matching computed one
+    sibling later in the UNet (hidden states one attention+ff apart)."""
+    from vidtome_tpu.core import merge as merge_ops
+
+    latent = size // 8
+    key = jax.random.key(seed)
+    x = jax.random.normal(key, (2, 4 * latent * latent, 320), jnp.bfloat16)
+    # surrogate for the sibling block's slightly-evolved hidden states:
+    # same signal + small update (one block's residual is small relative
+    # to the stream)
+    dx = 0.15 * jax.random.normal(jax.random.fold_in(key, 1), x.shape,
+                                  jnp.bfloat16)
+    # mode="mean" materializes src_idx/dst_idx for introspection
+    _, plans_a = merge_ops.compute_local_merge(
+        x, 4, 0.9, jax.random.fold_in(key, 2), mode="mean")
+    _, plans_b = merge_ops.compute_local_merge(
+        x + dx, 4, 0.9, jax.random.fold_in(key, 2), mode="mean")
+    pa, pb = plans_a[0], plans_b[0]
+
+    def pairs(p):
+        src = np.asarray(jnp.take_along_axis(p.a_idx, p.src_idx, axis=1))
+        dst = np.asarray(jnp.take_along_axis(p.b_idx, p.dst_idx, axis=1))
+        return {(int(s), int(d)) for s, d in zip(src[0], dst[0])}
+
+    sa, sb = pairs(pa), pairs(pb)
+    return len(sa & sb) / max(len(sa), 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", default="all",
+                    choices=list(GATES) + ["all"])
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+
+    from vidtome_tpu.models.registry import init_model
+
+    bundle = init_model(sd_version="1.5", weight_dtype="bf16")
+    latent = args.size // 8
+    gates = list(GATES) if args.gate == "all" else [args.gate]
+
+    for gate in gates:
+        exact_over, fast_over = GATES[gate]
+        vals = []
+        t0 = time.time()
+        for seed in range(args.seeds):
+            init = jax.random.normal(
+                jax.random.key(1000 + seed),
+                (args.frames, latent, latent, 4), jnp.bfloat16)
+            ctx = None
+            outs = []
+            for over in (exact_over, fast_over):
+                cfg = make_config(args.frames, args.steps, args.size,
+                                  123 + seed, **over)
+                from vidtome_tpu.pipeline.generator import Generator  # noqa
+                from vidtome_tpu.core import chunk as chunking
+
+                gen = Generator(bundle, cfg)
+                gen.n_frames = args.frames
+                gen.n_padded, gen.pad_src = chunking.pad_to_chunks(
+                    args.frames, 4)
+                gen.depth = None
+                gen.control_images = None
+                if ctx is None:
+                    ctx = gen.text.embed_cfg("quality gate", "ugly, blurry")
+                clean = gen.ddim_sample(jnp.copy(init), ctx)
+                outs.append(np.asarray(
+                    gen.vae.decode(clean[: args.frames]), np.float32))
+            vals.append(psnr(outs[0], outs[1]))
+            print(f"[gate:{gate}] seed {seed}: {vals[-1]:.2f} dB",
+                  file=sys.stderr)
+        rec = {
+            "gate": gate,
+            "psnr_exact_vs_fast_db": [round(v, 2) for v in vals],
+            "psnr_mean_db": round(float(np.mean(vals)), 2),
+            "seeds": args.seeds, "frames": args.frames,
+            "steps": args.steps, "size": args.size,
+            "weights": "random (zero-egress proxy)",
+            "elapsed_s": round(time.time() - t0, 1),
+        }
+        if gate == "share_match":
+            rec["plan_overlap"] = round(float(np.mean([
+                share_match_plan_overlap(bundle, args.frames, args.size, s)
+                for s in range(args.seeds)])), 4)
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

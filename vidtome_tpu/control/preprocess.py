@@ -133,11 +133,18 @@ def lineart_anime_preprocess(images: np.ndarray, proc: str = "anime",
 
 
 def openpose_preprocess(images: np.ndarray, **_) -> np.ndarray:
+    from vidtome_tpu.control.pose import pose_images, pose_model_path
+
+    path = pose_model_path()
+    if path is not None:
+        return pose_images(images, path)
     aux = _try_aux("openpose", images)
     if aux is None:
         raise RuntimeError(
-            "openpose preprocessing requires the controlnet_aux package "
-            "with its pose model; no cv2 fallback exists")
+            "openpose preprocessing needs a pose model: set "
+            "VIDTOME_POSE_MODEL to a body_pose_model.pth checkpoint "
+            "(native Flax port, control/pose.py) or install "
+            "controlnet_aux; no cv2 fallback exists")
     return aux
 
 
@@ -169,15 +176,20 @@ def validate_control_available(control_type: str) -> None:
     other types always produce something (exact or warned-approximate)."""
     if control_type != "openpose":
         return
+    from vidtome_tpu.control.pose import pose_model_path
+
+    if pose_model_path() is not None:
+        return
     try:
         import controlnet_aux  # noqa: F401
         return
     except ImportError:
         pass
     raise RuntimeError(
-        "control: openpose requires the controlnet_aux package with its "
-        "pose model, which is not installed.  There is no classical "
-        "fallback for pose estimation — choose another control type "
-        "(canny/softedge/depth/tile/ip2p/lineart_anime) or install "
-        "controlnet_aux.  Failing now, before inversion, so no compute "
-        "is wasted.")
+        "control: openpose needs a pose model and none is available: set "
+        "VIDTOME_POSE_MODEL to a body_pose_model.pth checkpoint (native "
+        "Flax port, control/pose.py) or install controlnet_aux.  There "
+        "is no classical fallback for pose estimation — choose another "
+        "control type (canny/softedge/depth/tile/ip2p/lineart_anime) "
+        "instead.  Failing now, before inversion, so no compute is "
+        "wasted.")

@@ -50,7 +50,9 @@ class QDense(nn.Module):
         if self.has_variable("qparams", "kernel_q"):
             kq = self.get_variable("qparams", "kernel_q")
             sc = self.get_variable("qparams", "scale")
-            y = quant_ops.int8_dense(x, kq, sc, self.dtype)
+            act = (self.get_variable("qparams", "act_scale")
+                   if self.has_variable("qparams", "act_scale") else None)
+            y = quant_ops.int8_dense(x, kq, sc, self.dtype, act_scale=act)
             return y if bias is None else y + bias.astype(self.dtype)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features))
@@ -86,7 +88,10 @@ class QConv(nn.Module):
         if self.has_variable("qparams", "kernel_q"):
             kq = self.get_variable("qparams", "kernel_q")
             sc = self.get_variable("qparams", "scale")
-            y = quant_ops.int8_conv(x, kq, sc, strides, padding, self.dtype)
+            act = (self.get_variable("qparams", "act_scale")
+                   if self.has_variable("qparams", "act_scale") else None)
+            y = quant_ops.int8_conv(x, kq, sc, strides, padding, self.dtype,
+                                    act_scale=act)
             return y if bias is None else y + bias.astype(self.dtype)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, x.shape[-1], self.features))

@@ -282,7 +282,10 @@ def init_model(
 
     if control not in ("none", "pnp"):
         assert control in CONTROLNET_DICT, f"unknown control type {control}"
-        cn_cfg = SD15_UNET  # all reference ControlNets are SD1.5-based
+        # all reference ControlNets are SD1.5-based; the weight-free tiny
+        # stack gets a matching tiny ControlNet (its 768-dim cross
+        # attention would reject the tiny text encoder's context)
+        cn_cfg = unet_cfg if sd_version == "tiny" else SD15_UNET
         cn_dir = (os.path.join(controlnet_root, CONTROLNET_DICT[control])
                   if controlnet_root else None)
         if cn_dir and os.path.isdir(cn_dir):

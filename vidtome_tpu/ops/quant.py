@@ -65,10 +65,17 @@ def quantize_acts(x: jnp.ndarray, axes: tuple[int, ...]
 
 
 def int8_dense(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
-               out_dtype: Any) -> jnp.ndarray:
+               out_dtype: Any,
+               act_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """x: [..., K] bf16/fp32; w_q: [K, N] int8 -> [..., N] out_dtype.
-    Per-row activation scales."""
-    q, s = quantize_acts(x, axes=(x.ndim - 1,))
+    Per-row dynamic activation scales, or a precomputed scalar
+    ``act_scale`` (post-norm inputs, see `static_act_scale`)."""
+    if act_scale is None:
+        q, s = quantize_acts(x, axes=(x.ndim - 1,))
+    else:
+        s = act_scale
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127,
+                     127).astype(jnp.int8)
     y = jax.lax.dot_general(
         q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -76,17 +83,48 @@ def int8_dense(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
 
 
 def int8_conv(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
-              strides, padding, out_dtype: Any) -> jnp.ndarray:
+              strides, padding, out_dtype: Any,
+              act_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """x: [B, H, W, Cin]; w_q: [kh, kw, Cin, Cout] int8 (HWIO).
-    Per-sample activation scales (every output pixel of sample b reads
-    only sample b, so the scale factors out of the convolution)."""
+
+    ``act_scale`` None: dynamic per-sample scales (every output pixel of
+    sample b reads only sample b, so the scale factors out of the
+    convolution).  Measured caveat on v5e: XLA's reduce-to-scalar over a
+    whole NHWC slab runs at ~30GB/s, costing ~66ms/step across the UNet —
+    so convs whose input range is known statically (post-GroupNorm, see
+    `static_act_scale`) pass a precomputed scalar ``act_scale`` instead
+    and the quantize fuses into the producer as pure elementwise."""
     dn = jax.lax.conv_dimension_numbers(x.shape, w_q.shape,
                                         ("NHWC", "HWIO", "NHWC"))
-    q, s = quantize_acts(x, axes=(1, 2, 3))
+    if act_scale is None:
+        q, s = quantize_acts(x, axes=(1, 2, 3))
+    else:
+        s = act_scale
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127,
+                     127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         q, w_q, strides, padding, dimension_numbers=dn,
         preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * (s * w_scale)).astype(out_dtype)
+
+
+# Static activation-scale calibration constant: post-GroupNorm activations
+# are zero-mean unit-variance per group by construction; the expected max
+# of ~1e6 normal samples is ~5.2 sigma, so amax ~= max_c(|beta_c| +
+# K*|gamma_c|).  Values beyond the clip saturate to +-127 (rare, and mild
+# clipping is benign for int8 quality).
+_STATIC_K = 6.0
+
+
+def static_act_scale(norm_scale, norm_bias):
+    """int8 scale for an activation that is GroupNorm(x)*gamma+beta
+    (optionally followed by SiLU, which only shrinks the negative side):
+    conservative amax from the affine parameters alone — no data pass."""
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(norm_bias.astype(jnp.float32))
+                + _STATIC_K * jnp.abs(norm_scale.astype(jnp.float32))),
+        0.3)
+    return amax / 127.0
 
 
 # ----------------------------------------------------------------------
@@ -124,18 +162,32 @@ def quantize_params(params, exclude: str | None = DEFAULT_EXCLUDE,
     ex = re.compile(exclude) if exclude else None
     inc = re.compile(include) if include else None
     to_quant: dict = {}
+    # Modules whose input activation is the sibling norm's output (the
+    # architecture guarantees the pairing): resnet convs read
+    # silu(normN(x)), the transformer projection reads norm(x).  Their
+    # int8 activation scale is computed statically from the norm affine
+    # (static_act_scale) instead of a measured per-call amax.
+    norm_for = {"conv1": "norm1", "conv2": "norm2", "proj_in": "norm"}
+    act_norms: dict[tuple, tuple] = {}
 
-    def walk(node, qnode, path):
+    def walk(node, qnode, path_t):
         out = {}
         for k, v in node.items():
-            p = f"{path}/{k}" if path else k
+            pt = path_t + (k,)
+            p = "/".join(pt)
             if isinstance(v, dict):
                 sub_q: dict = {}
-                sub = walk(v, sub_q, p)
+                sub = walk(v, sub_q, pt)
                 if sub:
                     out[k] = sub
                 if sub_q:
                     qnode[k] = sub_q
+                    nk = norm_for.get(k)
+                    if ("kernel" in sub_q and nk
+                            and isinstance(node.get(nk), dict)
+                            and "scale" in node[nk]):
+                        act_norms[pt] = (node[nk]["scale"],
+                                         node[nk]["bias"])
             elif (k == "kernel" and hasattr(v, "ndim")
                   and v.ndim in (2, 4)
                   and (ex is None or not ex.search(p))
@@ -145,7 +197,7 @@ def quantize_params(params, exclude: str | None = DEFAULT_EXCLUDE,
                 out[k] = v
         return out
 
-    residual = walk(dict(params), to_quant, "")
+    residual = walk(dict(params), to_quant, ())
     # numeric work in ONE jitted dispatch over the selected subtree
     # (per-leaf eager quantization would be hundreds of round trips on a
     # tunneled backend)
@@ -161,7 +213,18 @@ def quantize_params(params, exclude: str | None = DEFAULT_EXCLUDE,
                 out["kernel_q"], out["scale"] = v
         return out
 
-    return residual, expand(pairs)
+    qparams = expand(pairs)
+    if act_norms:
+        keys = list(act_norms)
+        scalars = jax.jit(lambda t: tuple(
+            static_act_scale(s, b) for s, b in t))(
+            tuple(act_norms[k] for k in keys))
+        for pt, sc in zip(keys, scalars):
+            n = qparams
+            for k in pt:
+                n = n[k]
+            n["act_scale"] = sc
+    return residual, qparams
 
 
 def count_quantized(qparams) -> int:
