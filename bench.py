@@ -133,6 +133,14 @@ def main():
                              "(reference patch.py:104-114) — ~12%% fewer "
                              "FLOPs, merged-away tokens take their dst's "
                              "attn2/ff output")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="run the generation loop on a device mesh, "
+                             "e.g. 'data=8' or 'data=4,model=2'.  On a "
+                             "host without that many accelerators this "
+                             "uses the virtual CPU mesh (execution/"
+                             "sharding validation; wall-clock is NOT a "
+                             "TPU number) — on a real v5e-8 the same "
+                             "command benchmarks actual scaling.")
     parser.add_argument("--int8", action="store_true",
                         help="int8 (W8A8) quantized serving: UNet hot "
                              "matmuls/convs run s8xs8->s32 on the MXU "
@@ -146,6 +154,8 @@ def main():
     args = parser.parse_args()
     if args.quick:
         args.frames, args.steps = 8, 5
+    if args.mesh:
+        return bench_mesh(args)
     if args.sdxl:
         return bench_sdxl(args)
 
@@ -351,6 +361,114 @@ def main():
     print(json.dumps(result))
 
 
+def bench_mesh(args):
+    """Generation on a dp(xtp) device mesh through the REAL Generator
+    path (sharded params, lane sharding constraint, bank carry).
+
+    Falls back to the virtual CPU mesh when the host lacks enough
+    accelerators: that run validates the sharded program end-to-end
+    (GSPMD partitioning, collectives, execution) but its wall-clock is a
+    CPU number — the JSON carries ``backend`` so nobody mistakes it for
+    TPU throughput.  On a real multi-chip host the same command times
+    actual scaling.  Expected scaling on a v5e-8 (docs/DESIGN.md §10):
+    near-linear in 'data' for inversion and ~0.9x-linear for generation
+    (the global-bank scan serializes chunks; frames within a chunk call
+    shard cleanly), sub-linear in 'model' below 1024p (TP collectives on
+    D=40 heads are latency-bound)."""
+    spec = dict(kv.split("=") for kv in args.mesh.split(","))
+    data, model = int(spec.get("data", 1)), int(spec.get("model", 1))
+    n_dev = data * model
+
+    import os as _os
+
+    import jax
+
+    virtual = False
+    if (_os.environ.get("VIDTOME_MESH_BACKEND", "auto") != "native"
+            and "cpu" not in str(_os.environ.get("JAX_PLATFORMS", ""))):
+        # Default bench hosts here have ONE chip: any multi-device mesh
+        # request routes to the virtual CPU mesh unless the user forces
+        # the native backend (VIDTOME_MESH_BACKEND=native on a real
+        # v5e-8).  Backend may be preloaded by sitecustomize, so env vars
+        # are too late — use jax.config before first backend use.
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_dev)
+        virtual = True
+        # CPU mesh: run the tiny-width model at tiny shapes — XLA:CPU
+        # collectives carry a hard 40s rendezvous timeout that a few-core
+        # host emulating 8 devices cannot meet with full-width SD1.5 (the
+        # per-shard work serializes on the physical cores).  Same real
+        # Generator/mesh code path, architecturally-real model.
+        if args.frames == 32 and args.steps == 50:
+            args.frames, args.steps, args.size = 8, 2, 64
+
+    import jax.numpy as jnp
+
+    from vidtome_tpu.config import Config
+    from vidtome_tpu.core import chunk as chunking
+    from vidtome_tpu.models.registry import init_model
+    from vidtome_tpu.parallel import mesh as pmesh
+    from vidtome_tpu.pipeline.generator import Generator
+
+    assert len(jax.devices()) >= n_dev, (
+        f"need {n_dev} devices, have {len(jax.devices())}")
+    mesh = pmesh.make_mesh(data=data, model=model)
+    print(f"[bench] mesh {dict(data=data, model=model)} on "
+          f"{jax.devices()[0].platform}", file=sys.stderr)
+
+    sd_version = "tiny" if virtual else "1.5"
+    bundle = init_model(sd_version=sd_version, weight_dtype="bf16")
+    latent = args.size // 8
+    cfg = Config({
+        "sd_version": sd_version, "height": args.size, "width": args.size,
+        "seed": 123, "work_dir": "/tmp/bench", "float_precision": "bf16",
+        "generation": {
+            "control": "none", "guidance_scale": 7.5,
+            "n_timesteps": args.steps, "negative_prompt": "ugly",
+            "prompt": {"edit": "mesh bench"},
+            "latents_path": "/tmp/bench", "output_path": "/tmp/bench",
+            "chunk_size": 4, "chunk_ord": "mix-4",
+            "local_merge_ratio": 0.9, "merge_global": True,
+            "global_merge_ratio": 0.8, "global_rand": 0.5,
+            "align_batch": False, "save_frame": False,
+            "quant": "int8" if args.int8 else "none",
+            "merge_crossattn": args.ldm, "merge_ff": args.ldm,
+        },
+    })
+    gen = Generator(bundle, cfg, mesh=mesh)
+    gen.n_frames = args.frames
+    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.depth = None
+    gen.control_images = None
+    x = pmesh.shard_batch(mesh, jax.random.normal(
+        jax.random.key(0), (gen.n_padded, latent, latent, 4),
+        jnp.bfloat16))
+    context = gen.text.embed_cfg("mesh bench", "ugly")
+
+    t0 = time.time()
+    gen.warmup(x, context)
+    print(f"[bench] mesh warmup/compile in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    clean = gen.ddim_sample(x, context)
+    _ = float(jnp.sum(clean))
+    elapsed = time.time() - t0
+    fps = args.frames / elapsed
+    result = {
+        "metric": f"mesh_gen_frames_per_sec_{args.size}p_{args.steps}step",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "mesh": {"data": data, "model": model},
+        "backend": ("cpu-virtual (sharding/execution validation only)"
+                    if virtual else jax.devices()[0].platform),
+        "mode": "mesh" + ("+int8" if args.int8 else ""),
+    }
+    print(f"[bench] mesh run: {args.frames} frames x {args.steps} steps "
+          f"in {elapsed:.2f}s", file=sys.stderr)
+    print(json.dumps(result))
+
+
 def _measure_pnp_fps(bundle, args, latent):
     """PnP-mode generation throughput: ms/step from two warm 10-step
     blocks of the real PnP sample loop (3 lanes, injection flags, source
@@ -419,8 +537,11 @@ def _measure_pnp_fps(bundle, args, latent):
 
 
 def bench_sdxl(args):
-    """SDXL merged-UNet chunk throughput at 1024p (stress config: 128x128
-    latents, 32+ frame clip, high merge ratio)."""
+    """SDXL stress benchmark = the BASELINE stress config run through the
+    REAL pipeline: DDIM inversion + chunked merged-UNet CFG generation +
+    VAE decode at 1024p (128x128 latents), 32+ frames, 50 steps, token
+    merging active.  Random weights (zero egress) — identical compute
+    graph to real SDXL.  --quick shrinks to 8 frames / 5 steps."""
     import jax
     import jax.numpy as jnp
 
@@ -428,55 +549,99 @@ def bench_sdxl(args):
 
     setup_compilation_cache()
 
-    from vidtome_tpu.models.registry import _jit_init
-    from vidtome_tpu.models.tome import ToMeCall, ToMeConfig
-    from vidtome_tpu.models.unet import SDXL_UNET, UNet2DConditionModel
+    from vidtome_tpu.config import Config
+    from vidtome_tpu.core import chunk as chunking
+    from vidtome_tpu.models.registry import init_model
+    from vidtome_tpu.pipeline.generator import Generator
+    from vidtome_tpu.pipeline.inverter import Inverter
 
-    tome = ToMeConfig(frames=4, local_merge_ratio=0.9, merge_global=False,
-                      max_downsample=2)
-    unet = UNet2DConditionModel(config=SDXL_UNET, tome=tome,
-                                dtype=jnp.bfloat16)
-    lat = 128  # 1024p latents
+    size = args.size if args.size != 512 else 1024
+    latent = size // 8
     t0 = time.time()
-    x0 = jnp.zeros((1, 8, 8, 4), jnp.bfloat16)
-    ctx0 = jnp.zeros((1, 8, 2048), jnp.bfloat16)
-    params = _jit_init(unet, x0, jnp.asarray(0), ctx0)
-    print(f"[bench] SDXL params ready in {time.time() - t0:.1f}s",
+    bundle = init_model(sd_version="xl", weight_dtype="bf16")
+    print(f"[bench] SDXL model ready in {time.time() - t0:.1f}s",
           file=sys.stderr)
 
-    B = 8  # 2 CFG lanes x 4 frames
-    x = jax.random.normal(jax.random.key(0), (B, lat, lat, 4), jnp.bfloat16)
-    ctx = jax.random.normal(jax.random.key(1), (B, 77, 2048), jnp.bfloat16)
-    pooled = jax.random.normal(jax.random.key(2), (B, 1280), jnp.bfloat16)
-    tids = jnp.tile(jnp.asarray([[1024., 1024., 0., 0., 1024., 1024.]]),
-                    (B, 1))
+    cfg = Config({
+        "sd_version": "xl", "height": size, "width": size,
+        "seed": 123, "work_dir": "/tmp/bench_xl",
+        "float_precision": "bf16",
+        "inversion": {
+            "save_path": "/tmp/bench_xl/latents", "prompt": "benchmark",
+            "steps": args.steps, "save_steps": args.steps,
+            "save_intermediate": False, "batch_size": 4, "force": True,
+            "recon": False, "control": "none", "control_scale": 1.0,
+            "n_frames": None, "quant": "int8" if args.int8 else "none",
+        },
+        "generation": {
+            "control": "none", "guidance_scale": 7.5,
+            "n_timesteps": args.steps, "negative_prompt": "ugly, blurry",
+            "prompt": {"edit": "benchmark prompt"},
+            "latents_path": "/tmp/bench_xl", "output_path": "/tmp/bench_xl",
+            "chunk_size": 4, "chunk_ord": "mix-4",
+            "local_merge_ratio": 0.9, "merge_global": True,
+            "global_merge_ratio": 0.8, "global_rand": 0.5,
+            "align_batch": False, "save_frame": False,
+            "quant": "int8" if args.int8 else "none",
+            "merge_crossattn": args.ldm, "merge_ff": args.ldm,
+        },
+    })
 
-    @jax.jit
-    def fwd(params, x, ctx, key):
-        return unet.apply(
-            {"params": params}, x, jnp.asarray(500), ctx,
-            tome_call=ToMeCall(key=key, bank_mode="off"), num_lanes=2,
-            add_text_embeds=pooled, add_time_ids=tids)
-
+    # Inversion stage (real scanned step, donated buffer).
+    inv = Inverter(bundle, cfg)
+    conds = inv.text(["benchmark prompt"] * args.frames)
+    lat0 = jax.random.normal(jax.random.key(5),
+                             (args.frames, latent, latent, 4), jnp.bfloat16)
     t0 = time.time()
-    out = fwd(params, x, ctx, jax.random.key(3))
-    _ = float(jnp.sum(out))
-    print(f"[bench] SDXL compile in {time.time() - t0:.1f}s",
+    warm = inv._full_step(inv._params, jnp.copy(lat0), inv._tables,
+                          jnp.asarray(0, jnp.int32), True, conds, None,
+                          None)
+    _ = float(jnp.sum(warm))
+    print(f"[bench] SDXL inversion compile in {time.time() - t0:.1f}s",
           file=sys.stderr)
-    n = 10
     t0 = time.time()
-    for i in range(n):
-        out = fwd(params, x, ctx, jax.random.fold_in(jax.random.key(4), i))
+    out = inv._run(lat0, conds, None, None, inversion=True)
     _ = float(jnp.sum(out))
-    ms = (time.time() - t0) / n * 1e3
-    fps = 4.0 / ((ms / 1e3) * args.steps)  # 4 frames per chunk call
+    inv_elapsed = time.time() - t0
+    print(f"[bench] SDXL inversion: {args.frames} frames x {args.steps} "
+          f"steps in {inv_elapsed:.1f}s", file=sys.stderr)
+
+    # Generation stage through the real chunk/bank/merge path.
+    gen = Generator(bundle, cfg)
+    gen.n_frames = args.frames
+    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.depth = None
+    gen.control_images = None
+    context = gen._build_context("benchmark prompt")
+    latents = jnp.asarray(out, jnp.bfloat16)[gen.pad_src]
+    t0 = time.time()
+    gen.warmup(latents, context)
+    print(f"[bench] SDXL generation compile in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    clean = gen.ddim_sample(latents, context)
+    _ = float(jnp.sum(clean))
+    t_sample = time.time() - t0
+    frames_out = gen.vae.decode(clean[: args.frames])
+    checksum = float(jnp.sum(frames_out))
+    elapsed = time.time() - t0
+    fps = args.frames / elapsed
+    e2e = inv_elapsed + elapsed
     result = {
-        "metric": "sdxl_1024p_merged_unet_frames_per_sec_50step",
+        "metric": f"sdxl_{size}p_pipeline_frames_per_sec_"
+                  f"{args.steps}step_1xv5e",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": None,
+        "end_to_end_fps": round(args.frames / e2e, 4),
+        "inversion_fps": round(args.frames / inv_elapsed, 4),
+        "mode": "sdxl" + ("+int8" if args.int8 else "")
+                + ("+ldm-fast" if args.ldm else ""),
     }
-    print(f"[bench] SDXL chunk fwd {ms:.1f} ms", file=sys.stderr)
+    print(f"[bench] SDXL generation {t_sample:.1f}s "
+          f"({t_sample / args.steps * 1e3:.0f}ms/step), decode "
+          f"{elapsed - t_sample:.1f}s (checksum {checksum:.1f}); "
+          f"end-to-end {args.frames / e2e:.3f} frames/s", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -81,3 +81,47 @@ def test_demo_standalone_stages(tiny_demo_config, monkeypatch, tmp_path):
     generator.main(["--config", str(path)])
     out = os.path.join(override["work_dir"], "watercolor", "output.mp4")
     assert os.path.exists(out)
+
+
+@pytest.mark.parametrize("name,control", [
+    ("demo-canny.yaml", "canny"),
+    ("demo-depth.yaml", "depth"),
+    ("demo-pnp.yaml", "pnp"),
+])
+def test_control_demo_configs_load(name, control, monkeypatch):
+    """Every control family ships a zero-setup entry point (reference
+    ships 4 worked configs, /root/reference/configs/*.yaml)."""
+    monkeypatch.chdir(REPO)
+    from vidtome_tpu.config import load_config_file
+
+    cfg = load_config_file(os.path.join(REPO, "configs", name))
+    assert cfg.generation.control == control
+    assert cfg.input_path == "data/demo.mp4"
+    assert os.path.exists(cfg.input_path)
+    if control == "pnp":
+        assert cfg.inversion.save_intermediate  # PnP needs every timestep
+
+
+def test_demo_canny_cli_end_to_end(tmp_path, monkeypatch):
+    """demo-canny through the real CLI on the tiny stack: exercises the
+    canny preprocessing cache + the random-init ControlNet fallback."""
+    monkeypatch.chdir(REPO)
+    from vidtome_tpu import cli
+
+    override = {
+        "base_config": os.path.join(REPO, "configs", "demo-canny.yaml"),
+        "sd_version": "tiny",
+        "work_dir": str(tmp_path / "work"),
+        "height": 64,
+        "width": 64,
+        "float_precision": "fp32",
+        "inversion": {"steps": 2, "save_steps": 2, "batch_size": 4},
+        "generation": {"n_timesteps": 2, "frame_range": [0, 8, 1],
+                       "align_batch": False, "save_frame": False},
+    }
+    path = tmp_path / "demo_canny_tiny.yaml"
+    path.write_text(yaml.safe_dump(override))
+    cli.main(["--config", str(path)])
+    out = os.path.join(override["work_dir"], "lineart", "output.mp4")
+    assert os.path.exists(out)
+    assert os.path.isdir(os.path.join(override["work_dir"], "canny_image"))

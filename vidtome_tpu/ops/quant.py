@@ -56,11 +56,17 @@ def quantize_acts(x: jnp.ndarray, axes: tuple[int, ...]
                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dynamic symmetric activation quantization; ``axes`` are reduced to
     one scale (e.g. the feature axis for per-row).  Returns (int8, fp32
-    scale broadcastable against x)."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
+    scale broadcastable against x).
+
+    The amax runs on the INPUT dtype: converting first made XLA
+    materialize a shared fp32 copy of the whole activation between the
+    reduce and the quantize (2x HBM traffic, measured in the int8 trace);
+    bf16 |max| is order-exact and only the scalar scale needs fp32."""
+    amax = jnp.max(jnp.abs(x), axis=axes,
+                   keepdims=True).astype(jnp.float32)
     scale = jnp.maximum(amax, _EPS) / 127.0
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127,
+                 127).astype(jnp.int8)
     return q, scale
 
 
@@ -138,14 +144,22 @@ def static_act_scale(norm_scale, norm_bias):
 #   * the GEGLU down-projection ff/proj_out — measured on v5e, quantizing
 #     it COSTS ~50ms/step: its activation input is the wide hidden
 #     (h*gelu(gate), 2560-5120 lanes), so the dynamic amax + quantize adds
-#     three full passes over an 84-167MB tensor per block (26.7+13.5+6.6ms
-#     of amax fusions alone in the int8 trace), swamping the 2x MXU win.
-#     Every other quantized layer's amax reads a narrow (<=1280) input.
-# Everything else — attention q/k/v/out, GEGLU up-projection, transformer
-# proj, resnet and up/down-sample convs — is the FLOP mass and quantizes.
+#     three full passes over an 84-167MB tensor per block, swamping the 2x
+#     MXU win;
+#   * every layer whose input is NOT a norm output and therefore needs a
+#     dynamic per-sample amax — Transformer2D proj_out, Down/Upsample
+#     convs, resnet shortcuts: measured on v5e, XLA's whole-slab
+#     reduce-to-scalar runs at ~30GB/s (0.3-0.8ms per instance, ~60ms/
+#     step total) while the int8 win on these modest 1x1/3x3 convs is
+#     <0.1ms each.
+# What quantizes: attention q/k/v(/out), GEGLU up-projection, transformer
+# proj_in, resnet conv1/conv2 — the FLOP mass, all with static or cheap
+# per-row activation scales.
 DEFAULT_EXCLUDE = (
     r"time_embedding|add_embedding|time_emb_proj|"
-    r"(^|/)conv_in(/|$)|(^|/)conv_out(/|$)|(^|/)ff/proj_out(/|$)"
+    r"(^|/)conv_in(/|$)|(^|/)conv_out(/|$)|(^|/)ff/proj_out(/|$)|"
+    r"attentions_\d+/proj_out|mid_attentions_\d+/proj_out|"
+    r"downsample|upsample|conv_shortcut"
 )
 
 
@@ -162,12 +176,23 @@ def quantize_params(params, exclude: str | None = DEFAULT_EXCLUDE,
     ex = re.compile(exclude) if exclude else None
     inc = re.compile(include) if include else None
     to_quant: dict = {}
-    # Modules whose input activation is the sibling norm's output (the
+    # Modules whose input activation is a sibling norm's output (the
     # architecture guarantees the pairing): resnet convs read
-    # silu(normN(x)), the transformer projection reads norm(x).  Their
+    # silu(normN(x)), the transformer projection reads norm(x), the
+    # attention q/k/v and GEGLU up-projection read a LayerNorm output
+    # (merging only subsets/averages normed tokens, and the global bank
+    # stores normed tokens from the same norm — the bound holds).  Their
     # int8 activation scale is computed statically from the norm affine
-    # (static_act_scale) instead of a measured per-call amax.
-    norm_for = {"conv1": "norm1", "conv2": "norm2", "proj_in": "norm"}
+    # (static_act_scale) instead of a measured per-call amax.  attn2's
+    # k/v read the TEXT context (not normed here) and stay dynamic.
+    static_rules = {
+        "conv1": ("norm1", (None,)),
+        "conv2": ("norm2", (None,)),
+        "proj_in": ("norm", (None,)),
+        "attn1": ("norm1", ("to_q", "to_k", "to_v")),
+        "attn2": ("norm2", ("to_q",)),
+        "ff": ("norm3", ("proj_in",)),
+    }
     act_norms: dict[tuple, tuple] = {}
 
     def walk(node, qnode, path_t):
@@ -182,12 +207,6 @@ def quantize_params(params, exclude: str | None = DEFAULT_EXCLUDE,
                     out[k] = sub
                 if sub_q:
                     qnode[k] = sub_q
-                    nk = norm_for.get(k)
-                    if ("kernel" in sub_q and nk
-                            and isinstance(node.get(nk), dict)
-                            and "scale" in node[nk]):
-                        act_norms[pt] = (node[nk]["scale"],
-                                         node[nk]["bias"])
             elif (k == "kernel" and hasattr(v, "ndim")
                   and v.ndim in (2, 4)
                   and (ex is None or not ex.search(p))
@@ -195,6 +214,18 @@ def quantize_params(params, exclude: str | None = DEFAULT_EXCLUDE,
                 qnode[k] = v
             else:
                 out[k] = v
+        for mod, (normname, subs) in static_rules.items():
+            if (mod not in qnode
+                    or not isinstance(node.get(normname), dict)
+                    or "scale" not in node[normname]):
+                continue
+            norm = node[normname]
+            for s in subs:
+                tgt = qnode[mod] if s is None else qnode[mod].get(s)
+                if isinstance(tgt, dict) and "kernel" in tgt:
+                    act_norms[path_t + (mod,) + (() if s is None
+                                                 else (s,))] = (
+                        norm["scale"], norm["bias"])
         return out
 
     residual = walk(dict(params), to_quant, ())
