@@ -320,6 +320,18 @@ def main():
     gen_tflops = flops_per_step * args.steps / t_sample / 1e12
     gen_mfu = gen_tflops * 1e12 / V5E_BF16_PEAK
 
+    # Int8-serving sidecar: default runs also measure the W8A8 serving
+    # mode (the production speed/quality dial, quality-gated in
+    # docs/DESIGN.md §9) so the round JSON carries both numbers.
+    int8_fps = None
+    if not args.quick and not args.int8 and not args.pnp:
+        try:
+            int8_fps = _measure_int8_fps(bundle, args, latent, latents,
+                                         context)
+        except Exception as e:
+            print(f"[bench] int8 sidecar failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
     # PnP sidecar measurement (the reference's flagship dog.yaml workload,
     # 3 CFG lanes + per-step source latents): measured every default run
     # so the round JSON always carries the number.  Two 10-step blocks of
@@ -349,6 +361,9 @@ def main():
     }
     if pnp_fps is not None:
         result["pnp_fps"] = round(pnp_fps, 4)
+    if int8_fps is not None:
+        result["int8_fps"] = round(int8_fps, 4)
+        result["int8_vs_baseline"] = round(int8_fps / A100_BASELINE_FPS, 4)
     print(f"[bench] {args.frames} frames x {args.steps} steps in "
           f"{elapsed:.2f}s (checksum {checksum:.2f})", file=sys.stderr)
     print(f"[bench] generation {gen_tflops:.0f} TFLOP/s = "
@@ -467,6 +482,51 @@ def bench_mesh(args):
     print(f"[bench] mesh run: {args.frames} frames x {args.steps} steps "
           f"in {elapsed:.2f}s", file=sys.stderr)
     print(json.dumps(result))
+
+
+def _measure_int8_fps(bundle, args, latent, latents, context):
+    """W8A8 serving mode through the same generation path (sample loop +
+    decode, same workload): the other point on the serving dial."""
+    import jax.numpy as jnp
+
+    from vidtome_tpu.config import Config
+    from vidtome_tpu.core import chunk as chunking
+    from vidtome_tpu.pipeline.generator import Generator
+
+    cfg = Config({
+        "sd_version": "1.5", "height": args.size, "width": args.size,
+        "seed": 123, "work_dir": "/tmp/bench", "float_precision": "bf16",
+        "generation": {
+            "control": "none", "guidance_scale": 7.5,
+            "n_timesteps": args.steps, "negative_prompt": "ugly, blurry",
+            "prompt": {"edit": "benchmark prompt"},
+            "latents_path": "/tmp/bench", "output_path": "/tmp/bench",
+            "chunk_size": 4, "chunk_ord": "mix-4",
+            "local_merge_ratio": 0.9, "merge_global": True,
+            "global_merge_ratio": 0.8, "global_rand": 0.5,
+            "align_batch": False, "save_frame": False,
+            "quant": "int8",
+        },
+    })
+    gen = Generator(bundle, cfg)
+    gen.n_frames = args.frames
+    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.depth = None
+    gen.control_images = None
+    t0 = time.time()
+    gen.warmup(latents, context)
+    print(f"[bench] int8 warmup/compile in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    clean = gen.ddim_sample(latents, context)
+    _ = float(jnp.sum(clean))
+    frames_out = gen.vae.decode(clean[: args.frames])
+    _ = float(jnp.sum(frames_out))
+    elapsed = time.time() - t0
+    fps = args.frames / elapsed
+    print(f"[bench] int8 serving: {args.frames} frames in {elapsed:.2f}s "
+          f"-> {fps:.3f} frames/s", file=sys.stderr)
+    return fps
 
 
 def _measure_pnp_fps(bundle, args, latent):

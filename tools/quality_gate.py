@@ -74,21 +74,6 @@ def make_config(frames, steps, size, seed, **gene_overrides):
     })
 
 
-def run_once(bundle, cfg, frames, size, init_latents, context):
-    """Generation stage only (shared inverted latent per seed)."""
-    from vidtome_tpu.core import chunk as chunking
-    from vidtome_tpu.pipeline.generator import Generator
-
-    gen = Generator(bundle, cfg)
-    gen.n_frames = frames
-    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(frames, 4)
-    gen.depth = None
-    gen.control_images = None
-    clean = gen.ddim_sample(init_latents, context)
-    out = gen.vae.decode(clean[:frames])
-    return np.asarray(out, np.float32)
-
-
 GATES = {
     # exact (reference-faithful) setting vs fast (our default) setting
     "share_match": ({"share_match": False}, {"share_match": True}),
@@ -133,7 +118,10 @@ def main():
     ap.add_argument("--gate", default="all",
                     choices=list(GATES) + ["all"])
     ap.add_argument("--seeds", type=int, default=3)
-    ap.add_argument("--frames", type=int, default=16)
+    # default 32 frames: the fast-side configs then reuse the bench
+    # executables from the compilation cache (same shapes), so only the
+    # exact-side variants compile fresh
+    ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     args = ap.parse_args()

@@ -45,18 +45,24 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        bias = (self.param("bias", nn.initializers.zeros,
-                           (self.features,)) if self.use_bias else None)
+        def bias_param():
+            # declared AFTER the kernel on the init path so the parameter
+            # RNG stream matches nn.Dense exactly (param creation order
+            # determines the per-param fold of the init key)
+            return (self.param("bias", nn.initializers.zeros,
+                               (self.features,)) if self.use_bias else None)
+
         if self.has_variable("qparams", "kernel_q"):
             kq = self.get_variable("qparams", "kernel_q")
             sc = self.get_variable("qparams", "scale")
             act = (self.get_variable("qparams", "act_scale")
                    if self.has_variable("qparams", "act_scale") else None)
             y = quant_ops.int8_dense(x, kq, sc, self.dtype, act_scale=act)
+            bias = bias_param()
             return y if bias is None else y + bias.astype(self.dtype)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features))
-        x, kernel, bias = nn_dtypes.promote_dtype(x, kernel, bias,
+        x, kernel, bias = nn_dtypes.promote_dtype(x, kernel, bias_param(),
                                                   dtype=self.dtype)
         y = jnp.dot(x, kernel)
         return y if bias is None else y + bias
@@ -83,8 +89,13 @@ class QConv(nn.Module):
             padding = [(self.padding, self.padding)] * 2
         else:
             padding = self.padding
-        bias = (self.param("bias", nn.initializers.zeros,
-                           (self.features,)) if self.use_bias else None)
+
+        def bias_param():
+            # kernel-first declaration order matches nn.Conv's init RNG
+            # stream (see QDense)
+            return (self.param("bias", nn.initializers.zeros,
+                               (self.features,)) if self.use_bias else None)
+
         if self.has_variable("qparams", "kernel_q"):
             kq = self.get_variable("qparams", "kernel_q")
             sc = self.get_variable("qparams", "scale")
@@ -92,10 +103,11 @@ class QConv(nn.Module):
                    if self.has_variable("qparams", "act_scale") else None)
             y = quant_ops.int8_conv(x, kq, sc, strides, padding, self.dtype,
                                     act_scale=act)
+            bias = bias_param()
             return y if bias is None else y + bias.astype(self.dtype)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, x.shape[-1], self.features))
-        x, kernel, bias = nn_dtypes.promote_dtype(x, kernel, bias,
+        x, kernel, bias = nn_dtypes.promote_dtype(x, kernel, bias_param(),
                                                   dtype=self.dtype)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                             ("NHWC", "HWIO", "NHWC"))
