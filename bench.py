@@ -73,7 +73,8 @@ def _xla_flops(jitted, *args, **kwargs) -> float:
     return float(ca.get("flops", 0.0))
 
 
-def _pallas_attn_flops_per_step(gen, latent: int) -> float:
+def _pallas_attn_flops_per_step(gen, latent: int,
+                                only_level0: bool = False) -> float:
     """Analytic FLOPs of the merged self-attention Pallas kernels for ONE
     full timestep (all chunks): 4*lanes*H*M^2*D per block (QK^T + PV at 2
     FLOPs/MAC).  Only levels that merge use the kernel — everything else
@@ -88,6 +89,8 @@ def _pallas_attn_flops_per_step(gen, latent: int) -> float:
     for level, ch in enumerate(ucfg.block_out_channels):
         ds = 2 ** level
         if ds > tome.max_downsample:
+            continue
+        if only_level0 and level != 0:
             continue
         n_blocks = ucfg.depth_for(level) * (
             (ucfg.down_block_types[level] == "CrossAttnDownBlock2D")
@@ -146,6 +149,11 @@ def main():
                              "matmuls/convs run s8xs8->s32 on the MXU "
                              "(~2x bf16 peak on v5e) with dynamic "
                              "activation scales — see ops/quant.py")
+    parser.add_argument("--cache", type=int, default=0, metavar="N",
+                        help="deep-feature cache interval (DeepCache-style "
+                             "serving mode, quality-gated in DESIGN.md §9): "
+                             "full UNet every N steps, level-0-only in "
+                             "between; 0 = off")
     parser.add_argument("--pnp", action="store_true",
                         help="PnP mode (the reference's flagship dog.yaml "
                              "config): 3 CFG lanes with source-branch "
@@ -193,6 +201,7 @@ def main():
             "share_match": not args.no_share_match,
             "merge_crossattn": args.ldm, "merge_ff": args.ldm,
             "quant": "int8" if args.int8 else "none",
+            "cache_interval": args.cache,
         },
     })
     gen = Generator(bundle, cfg)
@@ -315,6 +324,28 @@ def main():
     xla_per_step = f_init + (n_chunks - 1) * f_merge
     flops_per_step = xla_per_step + _pallas_attn_flops_per_step(
         gen, latent)
+    if args.cache > 1:
+        # Deep-feature cache: only 1 of every `cache` steps runs the full
+        # UNet; the rest run the level-0 shallow path.  Report the
+        # schedule-weighted average FLOPs so MFU stays honest.
+        deep_probe = jnp.zeros(
+            (lanes * 4, latent, latent,
+             gen.bundle.unet_config.block_out_channels[1]), jnp.bfloat16)
+
+        @jax.jit
+        def _probe_shallow(params, x, ctx, key, deep):
+            return unet.apply(
+                {"params": params}, x, jnp.asarray(500), ctx,
+                tome_call=ToMeCall(key=key, bank_mode="init"),
+                num_lanes=lanes, cache_mode="shallow", deep_cache=deep,
+                mutable=["tome_bank"])
+
+        f_shallow = _xla_flops(_probe_shallow, gen.unet_params, x_in,
+                               ctx_in, jax.random.key(0), deep_probe)
+        shallow_step = f_shallow * n_chunks + _pallas_attn_flops_per_step(
+            gen, latent, only_level0=True)
+        flops_per_step = (flops_per_step
+                          + (args.cache - 1) * shallow_step) / args.cache
     # MFU over the sample loop only (t_sample): the FLOP model counts UNet
     # work, so including VAE-decode wall time would deflate the ratio.
     gen_tflops = flops_per_step * args.steps / t_sample / 1e12
@@ -324,12 +355,22 @@ def main():
     # mode (the production speed/quality dial, quality-gated in
     # docs/DESIGN.md §9) so the round JSON carries both numbers.
     int8_fps = None
-    if not args.quick and not args.int8 and not args.pnp:
+    serve_fps = None
+    if not args.quick and not args.int8 and not args.pnp and not args.cache:
         try:
-            int8_fps = _measure_int8_fps(bundle, args, latent, latents,
-                                         context)
+            int8_fps = _measure_mode_fps(bundle, args, latents, context,
+                                         "int8", quant="int8")
         except Exception as e:
             print(f"[bench] int8 sidecar failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            # the full serving profile: int8 + deep-feature cache
+            # (both quality-gated, DESIGN.md §9)
+            serve_fps = _measure_mode_fps(bundle, args, latents, context,
+                                          "int8+cache2", quant="int8",
+                                          cache_interval=2)
+        except Exception as e:
+            print(f"[bench] serve sidecar failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
 
     # PnP sidecar measurement (the reference's flagship dog.yaml workload,
@@ -356,7 +397,9 @@ def main():
         "gen_mfu": round(gen_mfu, 4),
         "mode": "+".join([m for m, on in (("pnp", args.pnp),
                                           ("int8", args.int8),
-                                          ("ldm-fast", args.ldm)) if on]
+                                          ("ldm-fast", args.ldm),
+                                          (f"cache{args.cache}",
+                                           args.cache > 0)) if on]
                          ) or "default",
     }
     if pnp_fps is not None:
@@ -364,6 +407,10 @@ def main():
     if int8_fps is not None:
         result["int8_fps"] = round(int8_fps, 4)
         result["int8_vs_baseline"] = round(int8_fps / A100_BASELINE_FPS, 4)
+    if serve_fps is not None:
+        result["serve_fps"] = round(serve_fps, 4)
+        result["serve_vs_baseline"] = round(serve_fps / A100_BASELINE_FPS,
+                                            4)
     print(f"[bench] {args.frames} frames x {args.steps} steps in "
           f"{elapsed:.2f}s (checksum {checksum:.2f})", file=sys.stderr)
     print(f"[bench] generation {gen_tflops:.0f} TFLOP/s = "
@@ -484,29 +531,31 @@ def bench_mesh(args):
     print(json.dumps(result))
 
 
-def _measure_int8_fps(bundle, args, latent, latents, context):
-    """W8A8 serving mode through the same generation path (sample loop +
-    decode, same workload): the other point on the serving dial."""
+def _measure_mode_fps(bundle, args, latents, context, label,
+                      **gene_overrides):
+    """A serving mode through the same generation path (sample loop +
+    decode, same workload): another point on the serving dial."""
     import jax.numpy as jnp
 
     from vidtome_tpu.config import Config
     from vidtome_tpu.core import chunk as chunking
     from vidtome_tpu.pipeline.generator import Generator
 
+    gene = {
+        "control": "none", "guidance_scale": 7.5,
+        "n_timesteps": args.steps, "negative_prompt": "ugly, blurry",
+        "prompt": {"edit": "benchmark prompt"},
+        "latents_path": "/tmp/bench", "output_path": "/tmp/bench",
+        "chunk_size": 4, "chunk_ord": "mix-4",
+        "local_merge_ratio": 0.9, "merge_global": True,
+        "global_merge_ratio": 0.8, "global_rand": 0.5,
+        "align_batch": False, "save_frame": False,
+    }
+    gene.update(gene_overrides)
     cfg = Config({
         "sd_version": "1.5", "height": args.size, "width": args.size,
         "seed": 123, "work_dir": "/tmp/bench", "float_precision": "bf16",
-        "generation": {
-            "control": "none", "guidance_scale": 7.5,
-            "n_timesteps": args.steps, "negative_prompt": "ugly, blurry",
-            "prompt": {"edit": "benchmark prompt"},
-            "latents_path": "/tmp/bench", "output_path": "/tmp/bench",
-            "chunk_size": 4, "chunk_ord": "mix-4",
-            "local_merge_ratio": 0.9, "merge_global": True,
-            "global_merge_ratio": 0.8, "global_rand": 0.5,
-            "align_batch": False, "save_frame": False,
-            "quant": "int8",
-        },
+        "generation": gene,
     })
     gen = Generator(bundle, cfg)
     gen.n_frames = args.frames
@@ -515,7 +564,7 @@ def _measure_int8_fps(bundle, args, latent, latents, context):
     gen.control_images = None
     t0 = time.time()
     gen.warmup(latents, context)
-    print(f"[bench] int8 warmup/compile in {time.time() - t0:.1f}s",
+    print(f"[bench] {label} warmup/compile in {time.time() - t0:.1f}s",
           file=sys.stderr)
     t0 = time.time()
     clean = gen.ddim_sample(latents, context)
@@ -524,7 +573,7 @@ def _measure_int8_fps(bundle, args, latent, latents, context):
     _ = float(jnp.sum(frames_out))
     elapsed = time.time() - t0
     fps = args.frames / elapsed
-    print(f"[bench] int8 serving: {args.frames} frames in {elapsed:.2f}s "
+    print(f"[bench] {label} serving: {args.frames} frames in {elapsed:.2f}s "
           f"-> {fps:.3f} frames/s", file=sys.stderr)
     return fps
 
@@ -584,10 +633,13 @@ def _measure_pnp_fps(bundle, args, latent):
     block = gen._block_size()
     t0 = _time.time()
     y = jnp.copy(x)
+    deep = gen._cache_buffers(y)
     for s in (0, block):
-        y = gen._sample_block(gen._params, y, jnp.asarray(s, jnp.int32),
-                              fidx, context, src, zero, zero, gs,
-                              n_steps=block)
+        y, deep = gen._sample_block(gen._params, y, deep,
+                                    jnp.asarray(s, jnp.int32),
+                                    jnp.asarray(0, jnp.int32),
+                                    fidx, context, src, zero, zero, gs,
+                                    n_steps=block)
     _ = float(jnp.sum(y))
     ms = (_time.time() - t0) / (2 * block) * 1e3
     fps = args.frames / (ms / 1e3 * args.steps)

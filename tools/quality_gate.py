@@ -80,6 +80,16 @@ GATES = {
     "len_quantum": ({"len_quantum": None}, {"len_quantum": 1024}),
     "ldm": ({}, {"merge_crossattn": True, "merge_ff": True}),
     "int8": ({}, {"quant": "int8"}),
+    # deep-feature cache (DeepCache-style serving mode): full UNet every
+    # N steps, level-0-only in between
+    "deepcache2": ({}, {"cache_interval": 2}),
+    "deepcache3": ({}, {"cache_interval": 3}),
+    # CFG/uncond-lane cache: refresh the uncond eps every N steps, run
+    # cond-only in between
+    "cfgcache2": ({}, {"cfg_interval": 2}),
+    "cfgcache3": ({}, {"cfg_interval": 3}),
+    # the combined serving profile bench.py reports as "serve"
+    "serve": ({}, {"quant": "int8", "cache_interval": 2}),
 }
 
 

@@ -78,18 +78,21 @@ def main():
     block = gen._block_size()
 
     x = jnp.copy(latents)
+    deep = gen._cache_buffers(x)
+    zero_i = jnp.asarray(0, jnp.int32)
     # warm the exact executable
-    x = gen._sample_block(gen._params, x, jnp.asarray(0, jnp.int32),
-                          fidx_table, context, zero, zero, zero, gs,
-                          n_steps=block)
+    x, deep = gen._sample_block(gen._params, x, deep, zero_i, zero_i,
+                                fidx_table, context, zero, zero, zero, gs,
+                                n_steps=block)
     _ = float(jnp.sum(x))
 
     t0 = time.time()
     n_blocks = 0
     for s in range(0, 30, block):
-        x = gen._sample_block(gen._params, x, jnp.asarray(s, jnp.int32),
-                              fidx_table, context, zero, zero, zero, gs,
-                              n_steps=block)
+        x, deep = gen._sample_block(gen._params, x, deep,
+                                    jnp.asarray(s, jnp.int32), zero_i,
+                                    fidx_table, context, zero, zero, zero,
+                                    gs, n_steps=block)
         n_blocks += 1
     _ = float(jnp.sum(x))
     per_block = (time.time() - t0) / n_blocks

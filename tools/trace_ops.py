@@ -137,17 +137,19 @@ def main():
     block = gen._block_size()
 
     x = jnp.copy(latents)
-    x = gen._sample_block(gen._params, x, jnp.asarray(0, jnp.int32),
-                          fidx_table, context, zero, zero, zero, gs,
-                          n_steps=block)
+    deep = gen._cache_buffers(x)
+    zero_i = jnp.asarray(0, jnp.int32)
+    x, deep = gen._sample_block(gen._params, x, deep, zero_i, zero_i,
+                                fidx_table, context, zero, zero, zero, gs,
+                                n_steps=block)
     _ = float(jnp.sum(x))
 
     trace_dir = "/tmp/trace_ops"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
-        x = gen._sample_block(gen._params, x, jnp.asarray(0, jnp.int32),
-                              fidx_table, context, zero, zero, zero, gs,
-                              n_steps=block)
+        x, deep = gen._sample_block(gen._params, x, deep, zero_i, zero_i,
+                                    fidx_table, context, zero, zero, zero,
+                                    gs, n_steps=block)
         _ = float(jnp.sum(x))
 
     files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)

@@ -154,7 +154,21 @@ class UNet2DConditionModel(nn.Module):
         mid_residual: Optional[jnp.ndarray] = None,              # ControlNet
         add_text_embeds: Optional[jnp.ndarray] = None,   # SDXL pooled embed
         add_time_ids: Optional[jnp.ndarray] = None,      # SDXL size/crop ids
+        cache_mode: str = "off",        # deep-feature cache: off/full/shallow
+        deep_cache: Optional[jnp.ndarray] = None,        # [B, H, W, Cdeep]
     ) -> jnp.ndarray:
+        """When ``cache_mode`` is "full" the return value is
+        ``(eps, deep)`` where ``deep`` is the feature map entering the LAST
+        up block (after the preceding upsample) — the temporally-redundant
+        deep trunk output.  "shallow" consumes such a ``deep_cache`` from a
+        previous timestep and recomputes only the level-0 path around it
+        (conv_in + down block 0 + last up block + out head), the
+        DeepCache-style training-free acceleration: deep UNet features
+        change slowly across adjacent diffusion timesteps, so serving can
+        reuse them for a few steps.  The split is exact by construction:
+        a "shallow" call fed the deep feature from a "full" call at the
+        SAME timestep reproduces that call's output bit-for-bit (tested).
+        Static strings — each mode compiles its own executable."""
         cfg = self.config
         B = x.shape[0]
         ch0 = cfg.block_out_channels[0]
@@ -181,12 +195,22 @@ class UNet2DConditionModel(nn.Module):
             temb = temb + TimestepEmbedding(ch0 * 4, dtype=self.dtype,
                                             name="add_embedding")(aug)
 
+        assert cache_mode in ("off", "full", "shallow"), cache_mode
+        run_deep = cache_mode != "shallow"
+        n_up = len(cfg.up_block_types)
+        if cache_mode != "off" and n_up < 2:
+            raise ValueError("deep-feature caching needs >= 2 UNet levels")
+
         h = QConv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         skips = [h]
 
         # ---- down blocks ----------------------------------------------------
-        for i, (block_type, ch) in enumerate(
-                zip(cfg.down_block_types, cfg.block_out_channels)):
+        # "shallow" runs only down block 0's layers (whose outputs are the
+        # skip connections the last up block consumes) and stops before its
+        # downsample — everything below the split is served from the cache.
+        n_down = len(cfg.block_out_channels) if run_deep else 1
+        for i, (block_type, ch) in list(enumerate(
+                zip(cfg.down_block_types, cfg.block_out_channels)))[:n_down]:
             has_attn = block_type == "CrossAttnDownBlock2D"
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(ch, dtype=self.dtype,
@@ -195,35 +219,44 @@ class UNet2DConditionModel(nn.Module):
                     h = self._transformer(ch, i, f"down_{i}_attentions_{j}")(
                         h, context, tome_call=tome_call, num_lanes=num_lanes)
                 skips.append(h)
-            if i < len(cfg.block_out_channels) - 1:
+            if run_deep and i < len(cfg.block_out_channels) - 1:
                 h = Downsample2D(ch, dtype=self.dtype,
                                  name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
-        # ---- mid ------------------------------------------------------------
-        ch_mid = cfg.block_out_channels[-1]
-        mid_level = len(cfg.block_out_channels) - 1
-        h = ResnetBlock2D(ch_mid, dtype=self.dtype,
-                          name="mid_resnets_0")(h, temb)
-        h = self._transformer(ch_mid, mid_level, "mid_attentions_0")(
-            h, context, tome_call=tome_call, num_lanes=num_lanes)
-        h = ResnetBlock2D(ch_mid, dtype=self.dtype,
-                          name="mid_resnets_1")(h, temb)
+        if run_deep:
+            # ---- mid --------------------------------------------------------
+            ch_mid = cfg.block_out_channels[-1]
+            mid_level = len(cfg.block_out_channels) - 1
+            h = ResnetBlock2D(ch_mid, dtype=self.dtype,
+                              name="mid_resnets_0")(h, temb)
+            h = self._transformer(ch_mid, mid_level, "mid_attentions_0")(
+                h, context, tome_call=tome_call, num_lanes=num_lanes)
+            h = ResnetBlock2D(ch_mid, dtype=self.dtype,
+                              name="mid_resnets_1")(h, temb)
 
-        # ---- ControlNet residuals ------------------------------------------
-        if mid_residual is not None:
-            h = h + mid_residual
-        if down_residuals is not None:
-            assert len(down_residuals) == len(skips), (
-                f"expected {len(skips)} down residuals, got "
-                f"{len(down_residuals)}")
+            # ---- ControlNet residuals --------------------------------------
+            if mid_residual is not None:
+                h = h + mid_residual
+            if down_residuals is not None:
+                assert len(down_residuals) == len(skips), (
+                    f"expected {len(skips)} down residuals, got "
+                    f"{len(down_residuals)}")
+                skips = [s + r for s, r in zip(skips, down_residuals)]
+        elif down_residuals is not None:
+            # shallow steps still apply the residuals on the level-0 skips
+            # they recompute (the deep residual influence rides the cache)
             skips = [s + r for s, r in zip(skips, down_residuals)]
 
         # ---- up blocks ------------------------------------------------------
         rev_channels = list(cfg.block_out_channels)[::-1]
-        n_up = len(cfg.up_block_types)
-        for i, (block_type, ch) in enumerate(zip(cfg.up_block_types,
-                                                 rev_channels)):
+        deep_out = None
+        start_up = 0 if run_deep else n_up - 1
+        if not run_deep:
+            assert deep_cache is not None, "shallow mode needs deep_cache"
+            h = deep_cache.astype(self.dtype)
+        for i, (block_type, ch) in list(enumerate(zip(cfg.up_block_types,
+                                                      rev_channels)))[start_up:]:
             has_attn = block_type == "CrossAttnUpBlock2D"
             level = n_up - 1 - i
             for j in range(cfg.layers_per_block + 1):
@@ -245,8 +278,12 @@ class UNet2DConditionModel(nn.Module):
             if i < n_up - 1:
                 h = Upsample2D(ch, dtype=self.dtype,
                                name=f"up_{i}_upsample")(h)
+                if i == n_up - 2:
+                    deep_out = h  # input of the last up block = the cache cut
 
         h = _group_norm(h, "conv_norm_out", silu=True)
         h = QConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                   name="conv_out")(h)
+        if cache_mode == "full":
+            return h, deep_out
         return h

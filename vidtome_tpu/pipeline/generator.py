@@ -100,6 +100,22 @@ class Generator:
             merge_ff=bool(gene.get("merge_ff", False)),
         )
 
+        # Deep-feature cache (serving acceleration, quality-gated —
+        # DESIGN.md §9): recompute the full UNet every `cache_interval`
+        # steps and reuse the deep trunk output (input of the last up
+        # block) for the steps in between, recomputing only the level-0
+        # path.  0 disables; 1 = full every step (identical output to off,
+        # used by tests).  No reference counterpart — the TPU-serving
+        # analog of training-free step-caching (DeepCache-style).
+        self.cache_interval = int(gene.get("cache_interval", 0) or 0)
+        # CFG/uncond-lane cache (same quality-gate regime): refresh the
+        # uncond lane's eps every `cfg_interval` steps and reuse it in
+        # between — skip steps run only the cond lane (plus the PnP source
+        # lane), cutting the skipped lane's full UNet cost.  The uncond
+        # prediction varies slowly across adjacent timesteps relative to
+        # the guidance delta, the usual justification for CFG caching.
+        self.cfg_interval = int(gene.get("cfg_interval", 0) or 0)
+
         resolve_precision(config, gene, bundle)
         self.scheduler = DDIMScheduler.create(self.n_timesteps)
         if self.use_pnp:
@@ -232,12 +248,25 @@ class Generator:
 
         is_xl = self.bundle.needs_pooled
 
+        cache_interval = self.cache_interval
+        cfg_interval = self.cfg_interval
+
         def chunk_eps(bank_mode, params, x_full, eps_buf, fidx, banks,
                       step_i, chunk_pos, context, source_full, depth_full,
-                      control_full, guidance_scale):
+                      control_full, guidance_scale, caches,
+                      cache_mode="off", cfg_skip=False):
             """Gather one chunk, run CFG lanes through the merged UNet,
             scatter eps back into the full buffer.  ``context`` is the lane
-            context array, or (context, pooled, time_ids) for SDXL."""
+            context array, or (context, pooled, time_ids) for SDXL.
+
+            ``caches`` (serving accelerations, both quality-gated):
+              * caches["deep"] [num_lanes, Fpad, h, w, c] — deep-feature
+                cache: cache_mode "full" refreshes this chunk's slice,
+                "shallow" serves the UNet's deep trunk from it.
+              * caches["ucond"] [Fpad, h, w, 4] fp32 — the uncond lane's
+                eps: ``cfg_skip`` steps drop the uncond lane from the
+                batch and reuse this instead; refresh steps update it.
+            """
             unet_params = params["unet"]
             cn_params = params.get("controlnet")
             xl_kwargs = {}
@@ -251,25 +280,41 @@ class Generator:
             conv_flag = step_i < pnp_conv_steps
             x_chunk = x_full[fidx]
             F = x_chunk.shape[0]
-            lanes = [x_chunk, x_chunk]
+            if cfg_skip:
+                # run only [source,] cond — the uncond row (index
+                # num_lanes-2 in lane-major order) comes from the cache
+                lane_rows = tuple(r for r in range(num_lanes)
+                                  if r != num_lanes - 2)
+            else:
+                lane_rows = tuple(range(num_lanes))
+            lanes_eff = len(lane_rows)
+            lanes = [x_chunk] if cfg_skip else [x_chunk, x_chunk]
             if use_pnp:
                 lanes = [source_full[fidx].astype(x_chunk.dtype)] + lanes
             x_in = lane_constraint(jnp.concatenate(lanes))
-            ctx = jnp.repeat(context, F, axis=0)
+            rows = jnp.asarray(lane_rows, jnp.int32)
+            ctx = jnp.repeat(context[rows], F, axis=0)
             if is_xl:
                 xl_kwargs = dict(
-                    add_text_embeds=jnp.repeat(pooled, F, axis=0),
-                    add_time_ids=jnp.repeat(time_ids, F, axis=0))
+                    add_text_embeds=jnp.repeat(pooled[rows], F, axis=0),
+                    add_time_ids=jnp.repeat(time_ids[rows], F, axis=0))
             if use_depth:
-                depth = jnp.tile(depth_full[fidx], (num_lanes, 1, 1, 1))
+                depth = jnp.tile(depth_full[fidx], (lanes_eff, 1, 1, 1))
                 x_in = jnp.concatenate([x_in, depth.astype(x_in.dtype)], -1)
             kwargs = {}
             if use_controlnet:
-                cond = jnp.tile(control_full[fidx], (num_lanes, 1, 1, 1))
+                cond = jnp.tile(control_full[fidx], (lanes_eff, 1, 1, 1))
                 down_r, mid_r = controlnet.apply(
                     {"params": cn_params}, x_in, t, ctx, cond,
                     conditioning_scale=control_scale)
                 kwargs = dict(down_residuals=down_r, mid_residual=mid_r)
+            if cache_mode == "shallow":
+                dc = caches["deep"][rows][:, fidx]  # [Leff, F, h, w, c]
+                kwargs.update(
+                    cache_mode="shallow",
+                    deep_cache=dc.reshape((lanes_eff * F,) + dc.shape[2:]))
+            elif cache_mode == "full":
+                kwargs.update(cache_mode="full")
 
             tome_call = ToMeCall(key=key, bank_mode=bank_mode)
             variables = {"params": unet_params}
@@ -284,77 +329,130 @@ class Generator:
             if merge_global:
                 eps_all, mut = unet.apply(
                     variables, x_in, t, ctx, tome_call=tome_call,
-                    num_lanes=num_lanes, mutable=["tome_bank"],
+                    num_lanes=lanes_eff, mutable=["tome_bank"],
                     **pnp_kwargs, **kwargs, **xl_kwargs)
                 banks_out = mut["tome_bank"]
             else:
                 eps_all = unet.apply(
                     variables, x_in, t, ctx, tome_call=tome_call,
-                    num_lanes=num_lanes, **pnp_kwargs, **kwargs,
+                    num_lanes=lanes_eff, **pnp_kwargs, **kwargs,
                     **xl_kwargs)
                 banks_out = banks
-            eps_uncond = eps_all[(num_lanes - 2) * F:(num_lanes - 1) * F
-                                 ].astype(jnp.float32)
-            eps_cond = eps_all[(num_lanes - 1) * F:].astype(jnp.float32)
+            if cache_mode == "full":
+                eps_all, deep = eps_all
+                deep = deep.reshape((lanes_eff, F) + deep.shape[1:])
+                deep_full = caches["deep"]
+                for li, lane in enumerate(lane_rows):
+                    deep_full = deep_full.at[lane, fidx].set(deep[li])
+                caches = dict(caches, deep=deep_full)
+            eps_cond = eps_all[(lanes_eff - 1) * F:].astype(jnp.float32)
+            if cfg_skip:
+                eps_uncond = caches["ucond"][fidx]
+            else:
+                eps_uncond = eps_all[(lanes_eff - 2) * F:(lanes_eff - 1) * F
+                                     ].astype(jnp.float32)
+                if cfg_interval > 0:
+                    caches = dict(caches, ucond=caches["ucond"].at[fidx]
+                                  .set(eps_uncond))
             # CFG combine in fp32 — cast BEFORE the difference so the
             # guidance-amplified delta keeps full precision (the reference's
             # autocast leaves this in reduced precision).
             eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
             eps_buf = eps_buf.at[fidx].set(eps.astype(eps_buf.dtype))
-            return eps_buf, banks_out
+            return eps_buf, banks_out, caches
 
         def step(params, x, step_i, fidx_all, context, source_full,
-                 depth_full, control_full, guidance_scale):
+                 depth_full, control_full, guidance_scale, caches,
+                 cache_mode="off", cfg_skip=False):
             """Full timestep: fidx_all [n_chunks, chunk_size] lists each
             chunk's frame indices in processing order."""
             n_chunks = fidx_all.shape[0]
             eps = jnp.zeros_like(x)
 
             first_mode = "init" if merge_global else "off"
-            eps, banks = chunk_eps(
+            eps, banks, caches = chunk_eps(
                 first_mode, params, x, eps, fidx_all[0], None, step_i,
                 jnp.asarray(0, jnp.int32), context, source_full, depth_full,
-                control_full, guidance_scale)
+                control_full, guidance_scale, caches, cache_mode, cfg_skip)
 
             if n_chunks > 1:
                 rest_mode = "merge" if merge_global else "off"
 
                 def body(carry, inp):
-                    eps, banks = carry
+                    eps, banks, caches = carry
                     fidx, pos = inp
-                    eps, banks = chunk_eps(
+                    eps, banks, caches = chunk_eps(
                         rest_mode, params, x, eps, fidx, banks, step_i, pos,
                         context, source_full, depth_full, control_full,
-                        guidance_scale)
-                    return (eps, banks), None
+                        guidance_scale, caches, cache_mode, cfg_skip)
+                    return (eps, banks, caches), None
 
-                (eps, banks), _ = jax.lax.scan(
-                    body, (eps, banks),
+                (eps, banks, caches), _ = jax.lax.scan(
+                    body, (eps, banks, caches),
                     (fidx_all[1:],
                      jnp.arange(1, n_chunks, dtype=jnp.int32)))
 
             a_t_tab, a_prev_tab = alpha_tables
             x_next = ddim_step(x, eps, a_t_tab[step_i], a_prev_tab[step_i])
-            return x_next.astype(x.dtype)
+            return x_next.astype(x.dtype), caches
 
-        @functools.partial(jax.jit, donate_argnums=(1,),
+        @functools.partial(jax.jit, donate_argnums=(1, 2),
                            static_argnames=("n_steps",))
-        def sample_block(params, x, start_i, fidx_table, context, src_table,
-                         depth_full, control_full, guidance_scale,
-                         n_steps: int):
+        def sample_block(params, x, caches, start_i, first_i, fidx_table,
+                         context, src_table, depth_full, control_full,
+                         guidance_scale, n_steps: int):
             """Run ``n_steps`` consecutive timesteps on device.
 
             fidx_table: [num_steps, n_chunks, chunk_size] chunk schedules.
             src_table: PnP source latents [num_steps, F, h, w, 4] (or a
-            scalar placeholder when PnP is off)."""
+            scalar placeholder when PnP is off).
+            caches: serving-cache buffer dict from _cache_buffers (scalar
+            placeholders when the intervals are 0); first_i is the first
+            step index of the current SAMPLING (not block) so a refiner
+            stage starting mid-schedule still opens with cache-refreshing
+            full steps."""
 
-            def body(j, x):
+            def body(j, carry):
+                x, caches = carry
                 step_i = start_i + j
                 src = src_table[step_i] if use_pnp else src_table
-                return step(params, x, step_i, fidx_table[step_i], context,
-                            src, depth_full, control_full, guidance_scale)
+                if cache_interval == 0 and cfg_interval == 0:
+                    x, _ = step(params, x, step_i, fidx_table[step_i],
+                                context, src, depth_full, control_full,
+                                guidance_scale, caches)
+                    return (x, caches)
 
-            return jax.lax.fori_loop(0, n_steps, body, x)
+                def run(mode, skip, operands):
+                    x, caches = operands
+                    return step(params, x, step_i, fidx_table[step_i],
+                                context, src, depth_full, control_full,
+                                guidance_scale, caches, mode, skip)
+
+                rel = step_i - first_i
+                if cache_interval and cfg_interval:
+                    deep_full = (rel % cache_interval) == 0
+                    cfg_full = (rel % cfg_interval) == 0
+                    idx = (2 * deep_full.astype(jnp.int32)
+                           + cfg_full.astype(jnp.int32))
+                    return jax.lax.switch(idx, [
+                        functools.partial(run, "shallow", True),
+                        functools.partial(run, "shallow", False),
+                        functools.partial(run, "full", True),
+                        functools.partial(run, "full", False),
+                    ], (x, caches))
+                if cache_interval:
+                    return jax.lax.cond(
+                        (rel % cache_interval) == 0,
+                        functools.partial(run, "full", False),
+                        functools.partial(run, "shallow", False),
+                        (x, caches))
+                return jax.lax.cond(
+                    (rel % cfg_interval) == 0,
+                    functools.partial(run, "off", False),
+                    functools.partial(run, "off", True),
+                    (x, caches))
+
+            return jax.lax.fori_loop(0, n_steps, body, (x, caches))
 
         return sample_block
 
@@ -368,6 +466,25 @@ class Generator:
             if self.scheduler.num_steps % b == 0:
                 return b
         return 1
+
+    def _cache_buffers(self, x):
+        """Zeros for the serving caches: deep-feature cache
+        [lanes, Fpad, h, w, Cdeep] + uncond-eps cache [Fpad, h, w, 4]
+        (scalar placeholders when the corresponding interval is 0 — the
+        donation slot still needs leaves).  The two placeholders must be
+        DISTINCT buffers: the caches pytree is donated, and donating one
+        buffer through two leaves is a runtime error ("attempt to donate
+        the same buffer twice")."""
+        if self.cache_interval:
+            ch = self.bundle.unet_config.block_out_channels[1]
+            deep = jnp.zeros(
+                (self.num_lanes, x.shape[0], x.shape[1], x.shape[2], ch),
+                self.bundle.dtype)
+        else:
+            deep = jnp.zeros((), self.bundle.dtype)
+        ucond = (jnp.zeros(x.shape[:3] + (4,), jnp.float32)
+                 if self.cfg_interval else jnp.zeros((), jnp.float32))
+        return {"deep": deep, "ucond": ucond}
 
     def warmup(self, x, context):
         """Compile the production sample-block executable (and force
@@ -387,8 +504,9 @@ class Generator:
             jnp.arange(x.shape[0], dtype=jnp.int32).reshape(
                 n_chunks, self.chunk_size),
             (steps, n_chunks, self.chunk_size))
-        out = self._sample_block(
-            self._params, jnp.copy(x), jnp.asarray(0, jnp.int32), fidx_table,
+        out, _ = self._sample_block(
+            self._params, jnp.copy(x), self._cache_buffers(x),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), fidx_table,
             context, src, depth, control, gs, n_steps=self._block_size())
         return float(jnp.sum(out))  # force completion
 
@@ -482,14 +600,17 @@ class Generator:
 
         stop = sch.num_steps if stop is None else stop
         block = self._block_size()
+        deep = self._cache_buffers(x)
+        first_i = jnp.asarray(start, jnp.int32)
         s = start
         while s < stop:
             # partial blocks (refiner splits that don't align to the block
             # size) compile one extra executable for the remainder
             n = min(block, stop - s)
-            x = self._sample_block(
-                self._params, x, jnp.asarray(s, jnp.int32), fidx_table,
-                context, src_table, depth, control, gs, n_steps=n)
+            x, deep = self._sample_block(
+                self._params, x, deep, jnp.asarray(s, jnp.int32), first_i,
+                fidx_table, context, src_table, depth, control, gs,
+                n_steps=n)
             s += n
             print(f"[INFO] step {s}/{sch.num_steps}")
         return x
