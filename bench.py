@@ -322,8 +322,8 @@ def main():
     f_merge = _xla_flops(_probe_merge, gen.unet_params, probe_banks, x_in,
                          ctx_in, jax.random.key(0))
     xla_per_step = f_init + (n_chunks - 1) * f_merge
-    flops_per_step = xla_per_step + _pallas_attn_flops_per_step(
-        gen, latent)
+    pallas_per_step = _pallas_attn_flops_per_step(gen, latent)
+    flops_per_step = xla_per_step + pallas_per_step
     if args.cache > 1:
         # Deep-feature cache: only 1 of every `cache` steps runs the full
         # UNet; the rest run the level-0 shallow path.  Report the
@@ -342,10 +342,15 @@ def main():
 
         f_shallow = _xla_flops(_probe_shallow, gen.unet_params, x_in,
                                ctx_in, jax.random.key(0), deep_probe)
-        shallow_step = f_shallow * n_chunks + _pallas_attn_flops_per_step(
-            gen, latent, only_level0=True)
-        flops_per_step = (flops_per_step
-                          + (args.cache - 1) * shallow_step) / args.cache
+        pallas_shallow = _pallas_attn_flops_per_step(gen, latent,
+                                                     only_level0=True)
+        shallow_step = f_shallow * n_chunks + pallas_shallow
+        xla_per_step = (xla_per_step
+                        + (args.cache - 1) * f_shallow * n_chunks
+                        ) / args.cache
+        pallas_per_step = (pallas_per_step
+                           + (args.cache - 1) * pallas_shallow) / args.cache
+        flops_per_step = xla_per_step + pallas_per_step
     # MFU over the sample loop only (t_sample): the FLOP model counts UNet
     # work, so including VAE-decode wall time would deflate the ratio.
     gen_tflops = flops_per_step * args.steps / t_sample / 1e12
@@ -391,6 +396,10 @@ def main():
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
+        # the denominator is analytic (zero-egress: no A100 to measure);
+        # band = the docstring derivation's 25-45% MFU sensitivity range
+        "baseline_fps": A100_BASELINE_FPS,
+        "baseline_fps_band": [1.3, 2.3],
         "end_to_end_fps": round(args.frames / e2e_elapsed, 4),
         "inversion_fps": round(args.frames / inv_elapsed, 4),
         "gen_tflops": round(gen_tflops, 1),
@@ -417,7 +426,7 @@ def main():
           f"{gen_mfu:.1%} MFU of v5e bf16 peak "
           f"({flops_per_step/1e12:.2f} TFLOP/step: "
           f"{xla_per_step/1e12:.2f} XLA + "
-          f"{(flops_per_step-xla_per_step)/1e12:.2f} pallas-attn); "
+          f"{pallas_per_step/1e12:.2f} pallas-attn); "
           f"end-to-end edit (invert+generate) "
           f"{args.frames / e2e_elapsed:.2f} frames/s", file=sys.stderr)
     print(json.dumps(result))
@@ -637,7 +646,7 @@ def _measure_pnp_fps(bundle, args, latent):
     for s in (0, block):
         y, deep = gen._sample_block(gen._params, y, deep,
                                     jnp.asarray(s, jnp.int32),
-                                    jnp.asarray(0, jnp.int32),
+                                    gen._mode_masks(),
                                     fidx, context, src, zero, zero, gs,
                                     n_steps=block)
     _ = float(jnp.sum(y))

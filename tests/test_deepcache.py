@@ -148,6 +148,55 @@ class TestGeneratorCacheInterval:
         assert np.sqrt((diff ** 2).mean()) < 80.0
 
 
+class TestRefreshMask:
+    def test_uniform_interval(self):
+        from vidtome_tpu.pipeline.generator import refresh_mask
+        m = refresh_mask(None, 3, 10)
+        assert list(np.where(m)[0]) == [0, 3, 6, 9]
+
+    def test_uniform_with_start(self):
+        from vidtome_tpu.pipeline.generator import refresh_mask
+        m = refresh_mask(None, 2, 10, start=5)
+        assert list(np.where(m[5:])[0] + 5) == [5, 7, 9]
+        assert m[:5].all()  # pre-start steps default to full
+
+    def test_warmup_then_uniform(self):
+        from vidtome_tpu.pipeline.generator import refresh_mask
+        m = refresh_mask("full:4,uniform:3", 0, 12)
+        assert list(np.where(m)[0]) == [0, 1, 2, 3, 4, 7, 10]
+
+    def test_segments_without_uniform_refresh_tail(self):
+        from vidtome_tpu.pipeline.generator import refresh_mask
+        m = refresh_mask("full:2,shallow:3", 0, 8)
+        assert list(m.astype(int)) == [1, 1, 0, 0, 0, 1, 1, 1]
+
+    def test_first_step_must_refresh(self):
+        from vidtome_tpu.pipeline.generator import refresh_mask
+        with pytest.raises(ValueError):
+            refresh_mask("shallow:2,uniform:2", 0, 8)
+
+    def test_bad_segment_rejected(self):
+        from vidtome_tpu.pipeline.generator import refresh_mask
+        with pytest.raises(ValueError):
+            refresh_mask("uniform:2,full:3", 0, 8)  # uniform not last
+        with pytest.raises(ValueError):
+            refresh_mask("bogus:2", 0, 8)
+
+
+class TestCacheSchedule:
+    def test_schedule_all_full_matches_off(self, bundle, video_dir,
+                                           tmp_path):
+        frames_off = _run_generation(bundle, tmp_path / "a", video_dir)
+        frames_s = _run_generation(bundle, tmp_path / "b", video_dir,
+                                   cache_schedule="uniform:1")
+        np.testing.assert_array_equal(frames_off, frames_s)
+
+    def test_warmup_schedule_runs(self, bundle, video_dir, tmp_path):
+        frames = _run_generation(bundle, tmp_path / "a", video_dir,
+                                 cache_schedule="full:2,uniform:2")
+        assert np.isfinite(frames).all()
+
+
 class TestCFGCache:
     def test_cfg_interval1_matches_off(self, bundle, video_dir, tmp_path):
         frames_off = _run_generation(bundle, tmp_path / "a", video_dir)

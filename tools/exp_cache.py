@@ -88,6 +88,10 @@ def main():
         ("cache3", {"cache_interval": 3}),
         ("cfg2", {"cfg_interval": 2}),
         ("cache3+cfg2", {"cache_interval": 3, "cfg_interval": 2}),
+        ("cache2+cfg2", {"cache_interval": 2, "cfg_interval": 2}),
+        ("w3", {"cache_schedule": "full:6,uniform:3"}),
+        ("w3+cfg2", {"cache_schedule": "full:6,uniform:3",
+                     "cfg_interval": 2}),
     ]:
         c, ms = run_one(bundle, args, latents, context, **over)
         print(f"{label:14s} compile {c:6.1f}s   {ms:7.1f} ms/step",

@@ -88,8 +88,21 @@ GATES = {
     # cond-only in between
     "cfgcache2": ({}, {"cfg_interval": 2}),
     "cfgcache3": ({}, {"cfg_interval": 3}),
-    # the combined serving profile bench.py reports as "serve"
+    # combined step-cache profile (bf16) and the full serving profiles
+    # (int8 + caches) bench.py reports as "serve"
+    "deepcfg32": ({}, {"cache_interval": 3, "cfg_interval": 2}),
     "serve": ({}, {"quant": "int8", "cache_interval": 2}),
+    "serve32": ({}, {"quant": "int8", "cache_interval": 3,
+                     "cfg_interval": 2}),
+    # aligned combined profile: every odd step reuses BOTH caches, every
+    # even step refreshes both (no misaligned stale-uncond-deep reads)
+    "deepcfg22": ({}, {"cache_interval": 2, "cfg_interval": 2}),
+    "serve22": ({}, {"quant": "int8", "cache_interval": 2,
+                     "cfg_interval": 2}),
+    # non-uniform refresh: dense early full steps (structure formation),
+    # interval-3 tail — interval-3 cost at near-interval-2 fidelity?
+    "deepcache_w3": ({}, {"cache_schedule": "full:6,uniform:3"}),
+    "deepcache_w4": ({}, {"cache_schedule": "full:6,uniform:4"}),
 }
 
 

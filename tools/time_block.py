@@ -30,6 +30,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ldm", action="store_true",
                     help="merge_crossattn + merge_ff (LDM-variant fast mode)")
+    ap.add_argument("--int8", action="store_true", help="W8A8 serving graph")
+    ap.add_argument("--cache", type=int, default=0,
+                    help="deep-feature cache interval")
+    ap.add_argument("--cfg", type=int, default=0,
+                    help="CFG uncond-lane cache interval")
     args = ap.parse_args()
     frames, steps, size = 32, 50, 512
     latent = size // 8
@@ -47,6 +52,8 @@ def main():
             "global_merge_ratio": 0.8, "global_rand": 0.5,
             "align_batch": False, "save_frame": False,
             "merge_crossattn": args.ldm, "merge_ff": args.ldm,
+            "quant": "int8" if args.int8 else "none",
+            "cache_interval": args.cache, "cfg_interval": args.cfg,
         },
     })
     gen = Generator(bundle, cfg)
@@ -80,8 +87,9 @@ def main():
     x = jnp.copy(latents)
     deep = gen._cache_buffers(x)
     zero_i = jnp.asarray(0, jnp.int32)
+    modes = gen._mode_masks()
     # warm the exact executable
-    x, deep = gen._sample_block(gen._params, x, deep, zero_i, zero_i,
+    x, deep = gen._sample_block(gen._params, x, deep, zero_i, modes,
                                 fidx_table, context, zero, zero, zero, gs,
                                 n_steps=block)
     _ = float(jnp.sum(x))
@@ -90,7 +98,7 @@ def main():
     n_blocks = 0
     for s in range(0, 30, block):
         x, deep = gen._sample_block(gen._params, x, deep,
-                                    jnp.asarray(s, jnp.int32), zero_i,
+                                    jnp.asarray(s, jnp.int32), modes,
                                     fidx_table, context, zero, zero, zero,
                                     gs, n_steps=block)
         n_blocks += 1

@@ -90,6 +90,10 @@ def main():
     if gn_mode:
         os.environ["VIDTOME_GN_MODE"] = gn_mode
     ldm = "--ldm" in sys.argv
+    cache = int(next((a.split("=")[1] for a in sys.argv
+                      if a.startswith("--cache=")), 0))
+    cfg_iv = int(next((a.split("=")[1] for a in sys.argv
+                       if a.startswith("--cfg=")), 0))
     frames, steps, size = 32, 50, 512
     latent = size // 8
     bundle = init_model(sd_version="1.5", weight_dtype="bf16")
@@ -107,6 +111,7 @@ def main():
             "align_batch": False, "save_frame": False,
             "quant": "int8" if int8 else "none",
             "merge_crossattn": ldm, "merge_ff": ldm,
+            "cache_interval": cache, "cfg_interval": cfg_iv,
         },
     })
     gen = Generator(bundle, cfg)
@@ -139,7 +144,8 @@ def main():
     x = jnp.copy(latents)
     deep = gen._cache_buffers(x)
     zero_i = jnp.asarray(0, jnp.int32)
-    x, deep = gen._sample_block(gen._params, x, deep, zero_i, zero_i,
+    modes = gen._mode_masks()
+    x, deep = gen._sample_block(gen._params, x, deep, zero_i, modes,
                                 fidx_table, context, zero, zero, zero, gs,
                                 n_steps=block)
     _ = float(jnp.sum(x))
@@ -147,7 +153,7 @@ def main():
     trace_dir = "/tmp/trace_ops"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
-        x, deep = gen._sample_block(gen._params, x, deep, zero_i, zero_i,
+        x, deep = gen._sample_block(gen._params, x, deep, zero_i, modes,
                                     fidx_table, context, zero, zero, zero,
                                     gs, n_steps=block)
         _ = float(jnp.sum(x))

@@ -39,6 +39,57 @@ from vidtome_tpu.control.depth import prepare_depth_latents
 from vidtome_tpu.control.preprocess import control_preprocess
 
 
+def refresh_mask(spec: str | None, interval: int, num_steps: int,
+                 start: int = 0) -> np.ndarray:
+    """Boolean refresh mask [num_steps] for a step cache.
+
+    ``spec`` (wins over ``interval``) is a comma-separated list of
+    segments consumed in order from ``start``:
+
+      * ``full:K``    — K consecutive refresh (full) steps;
+      * ``shallow:K`` — K consecutive cached (shallow) steps;
+      * ``uniform:N`` — every-Nth refresh for the remaining steps
+                        (must be the last segment).
+
+    Without a spec, ``interval`` gives the uniform every-Nth pattern.
+    Entries before ``start`` are marked full (they are never executed by
+    a sampling that begins at ``start``; full is the safe value)."""
+    mask = np.ones(num_steps, bool)
+    i = start
+    if spec:
+        segments = [s.strip() for s in str(spec).split(",") if s.strip()]
+        for seg_no, seg in enumerate(segments):
+            kind, _, arg = seg.partition(":")
+            if kind not in ("full", "shallow", "uniform") or not arg:
+                raise ValueError(f"bad cache schedule segment {seg!r} "
+                                 f"in {spec!r}")
+            n = int(arg)
+            if kind == "uniform":
+                if seg_no != len(segments) - 1:
+                    raise ValueError(
+                        f"'uniform' must be the last segment: {spec!r}")
+                if n < 1:
+                    raise ValueError(f"uniform interval must be >=1: "
+                                     f"{spec!r}")
+                for j in range(i, num_steps):
+                    mask[j] = (j - i) % n == 0
+                i = num_steps
+            else:
+                stop = min(i + n, num_steps)
+                mask[i:stop] = kind == "full"
+                i = stop
+        # steps past the listed segments (no trailing uniform): refresh
+        mask[i:] = True
+    elif interval:
+        for j in range(start, num_steps):
+            mask[j] = (j - start) % interval == 0
+    if start < num_steps and not mask[start]:
+        raise ValueError(
+            f"cache schedule {spec!r} must refresh on its first step "
+            f"(step {start}): the cache starts empty")
+    return mask
+
+
 class Generator:
     def __init__(self, bundle: ModelBundle, config, use_pallas=None,
                  mesh=None):
@@ -115,6 +166,17 @@ class Generator:
         # prediction varies slowly across adjacent timesteps relative to
         # the guidance delta, the usual justification for CFG caching.
         self.cfg_interval = int(gene.get("cfg_interval", 0) or 0)
+        # Non-uniform refresh schedules (override the uniform intervals):
+        # comma-separated segments consumed in order from the sampling
+        # start — "full:K" (K refresh steps), "shallow:K" (K cached
+        # steps), "uniform:N" (every-Nth refresh for the remainder).
+        # Early diffusion steps set structure and tolerate stale features
+        # worst, so e.g. "full:8,uniform:3" buys interval-3 cost at
+        # near-interval-2 fidelity (measured in DESIGN.md §9).
+        self.cache_schedule = gene.get("cache_schedule") or None
+        self.cfg_schedule = gene.get("cfg_schedule") or None
+        self.cache_on = bool(self.cache_interval or self.cache_schedule)
+        self.cfg_on = bool(self.cfg_interval or self.cfg_schedule)
 
         resolve_precision(config, gene, bundle)
         self.scheduler = DDIMScheduler.create(self.n_timesteps)
@@ -248,8 +310,8 @@ class Generator:
 
         is_xl = self.bundle.needs_pooled
 
-        cache_interval = self.cache_interval
-        cfg_interval = self.cfg_interval
+        cache_on = self.cache_on
+        cfg_on = self.cfg_on
 
         def chunk_eps(bank_mode, params, x_full, eps_buf, fidx, banks,
                       step_i, chunk_pos, context, source_full, depth_full,
@@ -351,7 +413,7 @@ class Generator:
             else:
                 eps_uncond = eps_all[(lanes_eff - 2) * F:(lanes_eff - 1) * F
                                      ].astype(jnp.float32)
-                if cfg_interval > 0:
+                if cfg_on:
                     caches = dict(caches, ucond=caches["ucond"].at[fidx]
                                   .set(eps_uncond))
             # CFG combine in fp32 — cast BEFORE the difference so the
@@ -398,7 +460,7 @@ class Generator:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2),
                            static_argnames=("n_steps",))
-        def sample_block(params, x, caches, start_i, first_i, fidx_table,
+        def sample_block(params, x, caches, start_i, mode_tab, fidx_table,
                          context, src_table, depth_full, control_full,
                          guidance_scale, n_steps: int):
             """Run ``n_steps`` consecutive timesteps on device.
@@ -407,16 +469,19 @@ class Generator:
             src_table: PnP source latents [num_steps, F, h, w, 4] (or a
             scalar placeholder when PnP is off).
             caches: serving-cache buffer dict from _cache_buffers (scalar
-            placeholders when the intervals are 0); first_i is the first
-            step index of the current SAMPLING (not block) so a refiner
-            stage starting mid-schedule still opens with cache-refreshing
-            full steps."""
+            placeholders when the caches are off); mode_tab is the
+            [num_steps, 2] int32 refresh table from _mode_masks (column 0:
+            run the full UNet and refresh the deep cache; column 1:
+            refresh the uncond-eps cache) — built per sampling start so a
+            refiner stage entering mid-schedule still opens with
+            cache-refreshing full steps.  Scalar placeholder when both
+            caches are off."""
 
             def body(j, carry):
                 x, caches = carry
                 step_i = start_i + j
                 src = src_table[step_i] if use_pnp else src_table
-                if cache_interval == 0 and cfg_interval == 0:
+                if not (cache_on or cfg_on):
                     x, _ = step(params, x, step_i, fidx_table[step_i],
                                 context, src, depth_full, control_full,
                                 guidance_scale, caches)
@@ -428,26 +493,22 @@ class Generator:
                                 context, src, depth_full, control_full,
                                 guidance_scale, caches, mode, skip)
 
-                rel = step_i - first_i
-                if cache_interval and cfg_interval:
-                    deep_full = (rel % cache_interval) == 0
-                    cfg_full = (rel % cfg_interval) == 0
-                    idx = (2 * deep_full.astype(jnp.int32)
-                           + cfg_full.astype(jnp.int32))
+                if cache_on and cfg_on:
+                    idx = 2 * mode_tab[step_i, 0] + mode_tab[step_i, 1]
                     return jax.lax.switch(idx, [
                         functools.partial(run, "shallow", True),
                         functools.partial(run, "shallow", False),
                         functools.partial(run, "full", True),
                         functools.partial(run, "full", False),
                     ], (x, caches))
-                if cache_interval:
+                if cache_on:
                     return jax.lax.cond(
-                        (rel % cache_interval) == 0,
+                        mode_tab[step_i, 0] == 1,
                         functools.partial(run, "full", False),
                         functools.partial(run, "shallow", False),
                         (x, caches))
                 return jax.lax.cond(
-                    (rel % cfg_interval) == 0,
+                    mode_tab[step_i, 1] == 1,
                     functools.partial(run, "off", False),
                     functools.partial(run, "off", True),
                     (x, caches))
@@ -475,7 +536,7 @@ class Generator:
         DISTINCT buffers: the caches pytree is donated, and donating one
         buffer through two leaves is a runtime error ("attempt to donate
         the same buffer twice")."""
-        if self.cache_interval:
+        if self.cache_on:
             ch = self.bundle.unet_config.block_out_channels[1]
             deep = jnp.zeros(
                 (self.num_lanes, x.shape[0], x.shape[1], x.shape[2], ch),
@@ -483,8 +544,21 @@ class Generator:
         else:
             deep = jnp.zeros((), self.bundle.dtype)
         ucond = (jnp.zeros(x.shape[:3] + (4,), jnp.float32)
-                 if self.cfg_interval else jnp.zeros((), jnp.float32))
+                 if self.cfg_on else jnp.zeros((), jnp.float32))
         return {"deep": deep, "ucond": ucond}
+
+    def _mode_masks(self, start: int = 0):
+        """[num_steps, 2] int32 refresh table for sample_block (column 0:
+        deep-feature cache, column 1: uncond-eps cache), or a scalar
+        placeholder when both caches are off."""
+        if not (self.cache_on or self.cfg_on):
+            return jnp.zeros((), jnp.int32)
+        n = self.scheduler.num_steps
+        deep = refresh_mask(self.cache_schedule, self.cache_interval or 1,
+                            n, start)
+        cfgm = refresh_mask(self.cfg_schedule, self.cfg_interval or 1,
+                            n, start)
+        return jnp.asarray(np.stack([deep, cfgm], axis=1), jnp.int32)
 
     def warmup(self, x, context):
         """Compile the production sample-block executable (and force
@@ -506,7 +580,7 @@ class Generator:
             (steps, n_chunks, self.chunk_size))
         out, _ = self._sample_block(
             self._params, jnp.copy(x), self._cache_buffers(x),
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), fidx_table,
+            jnp.asarray(0, jnp.int32), self._mode_masks(), fidx_table,
             context, src, depth, control, gs, n_steps=self._block_size())
         return float(jnp.sum(out))  # force completion
 
@@ -601,14 +675,14 @@ class Generator:
         stop = sch.num_steps if stop is None else stop
         block = self._block_size()
         deep = self._cache_buffers(x)
-        first_i = jnp.asarray(start, jnp.int32)
+        mode_tab = self._mode_masks(start)
         s = start
         while s < stop:
             # partial blocks (refiner splits that don't align to the block
             # size) compile one extra executable for the remainder
             n = min(block, stop - s)
             x, deep = self._sample_block(
-                self._params, x, deep, jnp.asarray(s, jnp.int32), first_i,
+                self._params, x, deep, jnp.asarray(s, jnp.int32), mode_tab,
                 fidx_table, context, src_table, depth, control, gs,
                 n_steps=n)
             s += n
