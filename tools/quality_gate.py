@@ -103,6 +103,8 @@ GATES = {
     # interval-3 tail — interval-3 cost at near-interval-2 fidelity?
     "deepcache_w3": ({}, {"cache_schedule": "full:6,uniform:3"}),
     "deepcache_w4": ({}, {"cache_schedule": "full:6,uniform:4"}),
+    "serve_w3": ({}, {"quant": "int8",
+                      "cache_schedule": "full:6,uniform:3"}),
 }
 
 

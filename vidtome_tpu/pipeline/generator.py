@@ -409,17 +409,26 @@ class Generator:
                 caches = dict(caches, deep=deep_full)
             eps_cond = eps_all[(lanes_eff - 1) * F:].astype(jnp.float32)
             if cfg_skip:
-                eps_uncond = caches["ucond"][fidx]
+                # Cached-delta CFG: eps = cond + (gs-1)*(cond - uncond)|old.
+                # Caching the guidance DELTA (not the uncond eps) matters:
+                # combining a fresh cond with a stale uncond would inject
+                # the cond lane's per-step drift into the difference and
+                # amplify it by gs; the delta itself varies much more
+                # slowly (measured: ucond-eps cache 23.3 dB proxy vs
+                # delta cache — DESIGN.md §9).
+                eps = eps_cond + (guidance_scale - 1.0) * caches["ucond"][
+                    fidx]
             else:
                 eps_uncond = eps_all[(lanes_eff - 2) * F:(lanes_eff - 1) * F
                                      ].astype(jnp.float32)
+                delta = eps_cond - eps_uncond
                 if cfg_on:
                     caches = dict(caches, ucond=caches["ucond"].at[fidx]
-                                  .set(eps_uncond))
-            # CFG combine in fp32 — cast BEFORE the difference so the
-            # guidance-amplified delta keeps full precision (the reference's
-            # autocast leaves this in reduced precision).
-            eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+                                  .set(delta))
+                # CFG combine in fp32 — cast BEFORE the difference so the
+                # guidance-amplified delta keeps full precision (the
+                # reference's autocast leaves this in reduced precision).
+                eps = eps_uncond + guidance_scale * delta
             eps_buf = eps_buf.at[fidx].set(eps.astype(eps_buf.dtype))
             return eps_buf, banks_out, caches
 
