@@ -1,0 +1,110 @@
+"""Fused resnet Pallas kernel vs a pure-jnp oracle (ops/resnet.py).
+
+The oracle composes the same math the XLA path runs (fp32 GroupNorm
+statistics, SiLU, bf16 3x3 convs with fp32 accumulation, temb add,
+identity / 1x1-projected shortcut) — mirroring
+models/layers.ResnetBlock2D semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidtome_tpu.ops.resnet import fused_resnet
+
+
+def _gn_silu(x, scale, bias, groups, eps=1e-5):
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H * W, groups, C // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = jnp.maximum(xf.var(axis=(1, 3), keepdims=True), 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(B, H, W, C) * scale + bias
+    y = y * jax.nn.sigmoid(y)
+    return y.astype(jnp.bfloat16)
+
+
+def _conv3(x, w):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), "SAME",
+        dimension_numbers=dn, preferred_element_type=jnp.float32)
+
+
+def _oracle(x, tvec, n1s, n1b, w1, b1, n2s, n2b, w2, b2, ws=None, bs=None,
+            groups=32):
+    h = _gn_silu(x, n1s, n1b, groups)
+    h = _conv3(h, w1) + b1 + tvec[:, None, None, :]
+    h = _gn_silu(h.astype(jnp.bfloat16), n2s, n2b, groups)
+    h = _conv3(h, w2) + b2
+    if ws is None:
+        sc = x.astype(jnp.float32)
+    else:
+        sc = jnp.dot(x.astype(jnp.bfloat16), ws.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + bs
+    return (sc + h).astype(jnp.bfloat16)
+
+
+def _make(key, B, H, W, Ci, Co, proj):
+    ks = jax.random.split(key, 12)
+    p = dict(
+        x=jax.random.normal(ks[0], (B, H, W, Ci), jnp.bfloat16),
+        tvec=0.3 * jax.random.normal(ks[1], (B, Co), jnp.float32),
+        n1s=1.0 + 0.2 * jax.random.normal(ks[2], (Ci,), jnp.float32),
+        n1b=0.1 * jax.random.normal(ks[3], (Ci,), jnp.float32),
+        w1=0.15 * jax.random.normal(ks[4], (3, 3, Ci, Co), jnp.float32),
+        b1=0.1 * jax.random.normal(ks[5], (Co,), jnp.float32),
+        n2s=1.0 + 0.2 * jax.random.normal(ks[6], (Co,), jnp.float32),
+        n2b=0.1 * jax.random.normal(ks[7], (Co,), jnp.float32),
+        w2=0.15 * jax.random.normal(ks[8], (3, 3, Co, Co), jnp.float32),
+        b2=0.1 * jax.random.normal(ks[9], (Co,), jnp.float32),
+    )
+    if proj:
+        p["ws"] = 0.3 * jax.random.normal(ks[10], (Ci, Co), jnp.float32)
+        p["bs"] = 0.1 * jax.random.normal(ks[11], (Co,), jnp.float32)
+    return p
+
+
+def _check(p, groups):
+    want = np.asarray(_oracle(**p, groups=groups), np.float32)
+    got = np.asarray(
+        fused_resnet(p["x"], p["tvec"], p["n1s"], p["n1b"], p["w1"],
+                     p["b1"], p["n2s"], p["n2b"], p["w2"], p["b2"],
+                     p.get("ws"), p.get("bs"), num_groups=groups,
+                     interpret=True), np.float32)
+    assert got.shape == want.shape
+    scale = np.abs(want).max() + 1e-3
+    np.testing.assert_allclose(got / scale, want / scale, atol=3e-2)
+
+
+class TestFusedResnet:
+    def test_identity_shortcut_one_chunk(self):
+        p = _make(jax.random.key(0), B=2, H=8, W=8, Ci=64, Co=64,
+                  proj=False)
+        _check(p, groups=8)
+
+    def test_projected_shortcut(self):
+        p = _make(jax.random.key(1), B=2, H=8, W=8, Ci=128, Co=64,
+                  proj=True)
+        _check(p, groups=16)
+
+    def test_multi_chunk_with_lane_padding(self):
+        # Ci=320 -> Cp=384: 3 chunks, last one half-masked (the SD level-0
+        # down-resnet shape class, shrunk spatially)
+        p = _make(jax.random.key(2), B=1, H=8, W=8, Ci=320, Co=320,
+                  proj=False)
+        _check(p, groups=32)
+
+    def test_up_resnet_shape_class(self):
+        # concat input (640) projected down to 320 like SD's up resnets
+        p = _make(jax.random.key(3), B=1, H=8, W=8, Ci=640, Co=320,
+                  proj=True)
+        _check(p, groups=32)
+
+    def test_taller_than_mtile(self):
+        # H=32 exercises multi-m-tile writes (MR=16 at Op=128... MR
+        # depends on W/Op; just assert correctness)
+        p = _make(jax.random.key(4), B=1, H=32, W=8, Ci=64, Co=64,
+                  proj=False)
+        _check(p, groups=8)

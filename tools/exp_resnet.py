@@ -1,0 +1,130 @@
+"""Probe: fused resnet Pallas kernel vs the XLA composition, in-graph.
+
+Scan loops with n >= 300 iterations (tunnel dispatch ~20ms would
+otherwise swamp per-op cost — see docs/DESIGN.md §8 method notes);
+checks numerical agreement once per shape first.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_resnet.py
+"""
+
+from __future__ import annotations
+
+import time
+
+from vidtome_tpu.runtime import setup_compilation_cache
+
+setup_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidtome_tpu.ops.resnet import fused_resnet
+
+N_ITERS = 300
+
+
+def xla_resnet(x, tvec, n1s, n1b, w1, b1, n2s, n2b, w2, b2, ws=None,
+               bs=None, groups=32, eps=1e-5):
+    """The exact op sequence ResnetBlock2D emits on the XLA path."""
+    def gn_silu(v, s, bvec):
+        B, H, W, C = v.shape
+        vf = v.astype(jnp.float32).reshape(B, H * W, groups, C // groups)
+        mean = vf.mean(axis=(1, 3), keepdims=True)
+        var = vf.var(axis=(1, 3), keepdims=True)
+        y = (vf - mean) * jax.lax.rsqrt(var + eps)
+        y = y.reshape(B, H, W, C) * s + bvec
+        y = y * jax.nn.sigmoid(y)
+        return y.astype(v.dtype)
+
+    def conv3(v, w):
+        dn = jax.lax.conv_dimension_numbers(v.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            v, w.astype(v.dtype), (1, 1), "SAME", dimension_numbers=dn)
+
+    h = gn_silu(x, n1s, n1b)
+    h = conv3(h, w1) + (b1 + tvec)[:, None, None, :].astype(x.dtype)
+    h = gn_silu(h, n2s, n2b)
+    h = conv3(h, w2) + b2.astype(x.dtype)
+    sc = (x if ws is None
+          else jnp.dot(x, ws.astype(x.dtype)) + bs.astype(x.dtype))
+    return sc + h
+
+
+def make(key, B, H, W, Ci, Co, proj):
+    ks = jax.random.split(key, 12)
+    p = dict(
+        x=jax.random.normal(ks[0], (B, H, W, Ci), jnp.bfloat16),
+        tvec=0.3 * jax.random.normal(ks[1], (B, Co), jnp.float32),
+        n1s=1.0 + 0.2 * jax.random.normal(ks[2], (Ci,), jnp.float32),
+        n1b=0.1 * jax.random.normal(ks[3], (Ci,), jnp.float32),
+        w1=0.15 * jax.random.normal(ks[4], (3, 3, Ci, Co), jnp.float32),
+        b1=0.1 * jax.random.normal(ks[5], (Co,), jnp.float32),
+        n2s=1.0 + 0.2 * jax.random.normal(ks[6], (Co,), jnp.float32),
+        n2b=0.1 * jax.random.normal(ks[7], (Co,), jnp.float32),
+        w2=0.15 * jax.random.normal(ks[8], (3, 3, Co, Co), jnp.float32),
+        b2=0.1 * jax.random.normal(ks[9], (Co,), jnp.float32),
+        ws=(0.3 * jax.random.normal(ks[10], (Ci, Co), jnp.float32)
+            if proj else None),
+        bs=(0.1 * jax.random.normal(ks[11], (Co,), jnp.float32)
+            if proj else None),
+    )
+    return p
+
+
+def timed(fn, p):
+    """Scan fn over N_ITERS feedback iterations; return ms/iter."""
+    args = (p["tvec"], p["n1s"], p["n1b"], p["w1"], p["b1"], p["n2s"],
+            p["n2b"], p["w2"], p["b2"])
+    extra = () if p["ws"] is None else (p["ws"], p["bs"])
+
+    @jax.jit
+    def loop(x0):
+        def body(x, _):
+            y = fn(x, *args, *extra)
+            # feed back at the input arity (channel slice / pad)
+            Ci = x.shape[-1]
+            if y.shape[-1] < Ci:
+                y = jnp.concatenate([y, y], axis=-1)[..., :Ci]
+            return y.astype(jnp.bfloat16), None
+        y, _ = jax.lax.scan(body, x0, None, length=N_ITERS)
+        return y
+
+    y = loop(p["x"])  # compile + warm
+    _ = float(jnp.sum(y.astype(jnp.float32)))
+    t0 = time.time()
+    y = loop(p["x"])
+    _ = float(jnp.sum(y.astype(jnp.float32)))
+    return (time.time() - t0) / N_ITERS * 1e3
+
+
+def main():
+    shapes = [
+        ("L0 down 320->320", dict(B=8, H=64, W=64, Ci=320, Co=320,
+                                  proj=False), 32),
+        ("L0 up   640->320", dict(B=8, H=64, W=64, Ci=640, Co=320,
+                                  proj=True), 32),
+        ("L1 down 640->640", dict(B=8, H=32, W=32, Ci=640, Co=640,
+                                  proj=False), 32),
+        ("L1 up  1280->640", dict(B=8, H=32, W=32, Ci=1280, Co=640,
+                                  proj=True), 32),
+    ]
+    for label, spec, groups in shapes:
+        p = make(jax.random.key(0), **spec)
+        extra = () if p["ws"] is None else (p["ws"], p["bs"])
+        args = (p["x"], p["tvec"], p["n1s"], p["n1b"], p["w1"], p["b1"],
+                p["n2s"], p["n2b"], p["w2"], p["b2"], *extra)
+        want = np.asarray(xla_resnet(*args, groups=groups), np.float32)
+        got = np.asarray(fused_resnet(*args, num_groups=groups),
+                         np.float32)
+        scale = np.abs(want).max() + 1e-3
+        err = np.abs(got / scale - want / scale).max()
+        ms_xla = timed(lambda *a: xla_resnet(*a, groups=groups), p)
+        ms_fus = timed(lambda *a: fused_resnet(*a, num_groups=groups), p)
+        print(f"{label}:  xla {ms_xla:7.3f}ms  fused {ms_fus:7.3f}ms  "
+              f"({ms_xla / ms_fus:4.2f}x)  maxerr {err:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
