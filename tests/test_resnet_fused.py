@@ -102,6 +102,56 @@ class TestFusedResnet:
                   proj=True)
         _check(p, groups=32)
 
+    def test_module_dispatch_param_tree_and_output(self, monkeypatch):
+        """ResnetBlock2D creates the identical parameter tree in both
+        dispatch modes, and the fused path applies the standard path's
+        params to the same result (checkpoint compatibility)."""
+        import flax
+        import os
+
+        from vidtome_tpu.models.layers import ResnetBlock2D
+
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 64),
+                              jnp.bfloat16)
+        temb = jax.random.normal(jax.random.key(1), (2, 32), jnp.bfloat16)
+
+        monkeypatch.delenv("VIDTOME_RESNET_MODE", raising=False)
+        block_std = ResnetBlock2D(64, dtype=jnp.bfloat16)
+        params = block_std.init(jax.random.key(2), x, temb)["params"]
+        y_std = block_std.apply({"params": params}, x, temb)
+
+        monkeypatch.setenv("VIDTOME_RESNET_MODE", "fused")
+        block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True)
+        params_f = block_f.init(jax.random.key(2), x, temb)["params"]
+        assert (jax.tree.structure(flax.core.unfreeze(params))
+                == jax.tree.structure(flax.core.unfreeze(params_f)))
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(params),
+                jax.tree_util.tree_leaves_with_path(params_f)):
+            assert a.shape == b.shape and a.dtype == b.dtype, (pa, pb)
+        y_fused = block_f.apply({"params": params}, x, temb)
+        a = np.asarray(y_std, np.float32)
+        b = np.asarray(y_fused, np.float32)
+        scale = np.abs(a).max() + 1e-3
+        np.testing.assert_allclose(b / scale, a / scale, atol=3e-2)
+
+    def test_module_dispatch_projected(self, monkeypatch):
+        from vidtome_tpu.models.layers import ResnetBlock2D
+
+        x = jax.random.normal(jax.random.key(5), (1, 8, 8, 128),
+                              jnp.bfloat16)
+        temb = jax.random.normal(jax.random.key(6), (1, 32), jnp.bfloat16)
+        block = ResnetBlock2D(64, dtype=jnp.bfloat16)
+        params = block.init(jax.random.key(7), x, temb)["params"]
+        y_std = block.apply({"params": params}, x, temb)
+        monkeypatch.setenv("VIDTOME_RESNET_MODE", "fused")
+        block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True)
+        y_fused = block_f.apply({"params": params}, x, temb)
+        a = np.asarray(y_std, np.float32)
+        b = np.asarray(y_fused, np.float32)
+        scale = np.abs(a).max() + 1e-3
+        np.testing.assert_allclose(b / scale, a / scale, atol=3e-2)
+
     def test_taller_than_mtile(self):
         # H=32 exercises multi-m-tile writes (MR=16 at Op=128... MR
         # depends on W/Op; just assert correctness)

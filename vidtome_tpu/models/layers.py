@@ -195,19 +195,101 @@ def _group_norm(x, name, num_groups=32, eps=1e-5, silu=False,
     return nn.silu(y) if silu else y
 
 
+class _ParamPair(nn.Module):
+    """Declares GroupNorm-compatible (scale, bias) parameters without the
+    compute — used by the fused-resnet path so both dispatch modes create
+    the identical parameter tree (names, shapes, dtypes, creation order
+    match nn.GroupNorm)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
+class _ConvParams(nn.Module):
+    """QConv/nn.Conv-compatible (kernel, bias) declaration (kernel first:
+    same init-RNG stream as QConv)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+def _resnet_mode() -> str:
+    import os
+
+    return os.environ.get("VIDTOME_RESNET_MODE", "off")
+
+
 class ResnetBlock2D(nn.Module):
     """GN -> silu -> conv3x3 -> +temb -> GN -> silu -> conv3x3 (+shortcut).
 
     PnP conv-feature injection (reference utils/pnp_utils.py:146-155): when
     ``inject`` is true, lanes 1.. of the batch take lane 0's features after
-    conv2, before the shortcut add."""
+    conv2, before the shortcut add.
+
+    VIDTOME_RESNET_MODE=fused routes eligible shapes through the fused
+    Pallas block kernel (ops/resnet.py, DESIGN §8.4): TPU backend, bf16,
+    no PnP injection, fp32 conv accumulator within the VMEM budget.  The
+    parameter tree is identical in both modes."""
 
     out_channels: int
     dtype: Any = jnp.bfloat16
+    use_pallas: Optional[bool] = None
+
+    def _fused_ok(self, x, inject) -> bool:
+        if _resnet_mode() != "fused" or inject is not None:
+            return False
+        if self.dtype != jnp.bfloat16:
+            return False
+        use = (self.use_pallas if self.use_pallas is not None
+               else jax.default_backend() == "tpu")
+        if not use:
+            return False
+        B, H, W, Ci = x.shape
+        rows = H * W
+        op = -(-self.out_channels // 128) * 128
+        return rows % 8 == 0 and rows * op * 4 <= (13 << 20) // 2
+
+    def _fused(self, x, temb):
+        from vidtome_tpu.ops.resnet import fused_resnet
+
+        Ci, Co = x.shape[-1], self.out_channels
+        n1s, n1b = _ParamPair(Ci, name="norm1")()
+        w1, b1 = _ConvParams((3, 3, Ci, Co), name="conv1")()
+        tk, tb = _ConvParams((temb.shape[-1], Co),
+                             name="time_emb_proj")()
+        n2s, n2b = _ParamPair(Co, name="norm2")()
+        w2, b2 = _ConvParams((3, 3, Co, Co), name="conv2")()
+        ws = bs = None
+        if Ci != Co:
+            wsk, bs = _ConvParams((1, 1, Ci, Co), name="conv_shortcut")()
+            ws = wsk.reshape(Ci, Co)
+        te = nn.silu(temb.astype(jnp.float32))
+        tvec = jnp.dot(te, tk.astype(jnp.float32)) + tb
+        groups1 = 32
+        while Ci % groups1:
+            groups1 //= 2
+        # ops/resnet.py clamps per-tensor internally via the same rule
+        return fused_resnet(x.astype(jnp.bfloat16), tvec, n1s, n1b, w1,
+                            b1, n2s, n2b, w2, b2, ws, bs,
+                            num_groups=groups1,
+                            interpret=jax.default_backend() != "tpu",
+                            ).astype(self.dtype)
 
     @nn.compact
     def __call__(self, x, temb, inject: Optional[jnp.ndarray] = None,
                  num_lanes: int = 1):
+        if self._fused_ok(x, inject):
+            return self._fused(x, temb)
         h = _group_norm(x, "norm1", silu=True)
         h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                   name="conv1")(h)

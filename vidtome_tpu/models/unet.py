@@ -214,6 +214,7 @@ class UNet2DConditionModel(nn.Module):
             has_attn = block_type == "CrossAttnDownBlock2D"
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(ch, dtype=self.dtype,
+                                  use_pallas=self.use_pallas,
                                   name=f"down_{i}_resnets_{j}")(h, temb)
                 if has_attn:
                     h = self._transformer(ch, i, f"down_{i}_attentions_{j}")(
@@ -229,10 +230,12 @@ class UNet2DConditionModel(nn.Module):
             ch_mid = cfg.block_out_channels[-1]
             mid_level = len(cfg.block_out_channels) - 1
             h = ResnetBlock2D(ch_mid, dtype=self.dtype,
+                              use_pallas=self.use_pallas,
                               name="mid_resnets_0")(h, temb)
             h = self._transformer(ch_mid, mid_level, "mid_attentions_0")(
                 h, context, tome_call=tome_call, num_lanes=num_lanes)
             h = ResnetBlock2D(ch_mid, dtype=self.dtype,
+                              use_pallas=self.use_pallas,
                               name="mid_resnets_1")(h, temb)
 
             # ---- ControlNet residuals --------------------------------------
@@ -265,6 +268,7 @@ class UNet2DConditionModel(nn.Module):
                 # PnP conv injection: up block 1, resnet 1 only.
                 inj = conv_inject if (i == 1 and j == 1) else None
                 h = ResnetBlock2D(ch, dtype=self.dtype,
+                                  use_pallas=self.use_pallas,
                                   name=f"up_{i}_resnets_{j}")(
                     h, temb, inject=inj, num_lanes=num_lanes)
                 if has_attn:

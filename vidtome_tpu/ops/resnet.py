@@ -215,9 +215,15 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
     MT = H // MR
     f32 = jnp.float32
 
+    def _clamp_groups(C: int) -> int:
+        g = num_groups
+        while C % g:
+            g //= 2
+        return g
+
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Cp - Ci)))
-    g1d, g1u = _group_mats(Ci, Cp, min(num_groups, Ci), H * W)
-    g2d, g2u = _group_mats(Co, Op, min(num_groups, Co), H * W)
+    g1d, g1u = _group_mats(Ci, Cp, _clamp_groups(Ci), H * W)
+    g2d, g2u = _group_mats(Co, Op, _clamp_groups(Co), H * W)
     sb1 = jnp.stack([jnp.pad(n1_scale.astype(f32), (0, Cp - Ci)),
                      jnp.pad(n1_bias.astype(f32), (0, Cp - Ci))])
     sb2 = jnp.stack([jnp.pad(n2_scale.astype(f32), (0, Op - Co)),
