@@ -371,7 +371,10 @@ class Generator:
                     conditioning_scale=control_scale)
                 kwargs = dict(down_residuals=down_r, mid_residual=mid_r)
             if cache_mode == "shallow":
-                dc = caches["deep"][rows][:, fidx]  # [Leff, F, h, w, c]
+                # frame gather FIRST (4 of Fpad frames), lane gather on the
+                # small result — the reverse order would materialize the
+                # whole [lanes, Fpad, h, w, c] cache per chunk
+                dc = caches["deep"][:, fidx][rows]  # [Leff, F, h, w, c]
                 kwargs.update(
                     cache_mode="shallow",
                     deep_cache=dc.reshape((lanes_eff * F,) + dc.shape[2:]))
