@@ -105,6 +105,16 @@ GATES = {
     "deepcache_w4": ({}, {"cache_schedule": "full:6,uniform:4"}),
     "serve_w3": ({}, {"quant": "int8",
                       "cache_schedule": "full:6,uniform:3"}),
+    # deeper front-loaded schedules (w3 measured 42.5 dB — far above the
+    # bar — so push the frontier)
+    "deepcache_w5": ({}, {"cache_schedule": "full:6,uniform:5"}),
+    "cfgcache_w2": ({}, {"cfg_schedule": "full:6,uniform:2"}),
+    # aligned deep-w4 + cfg-w2 (deep refreshes land on cfg-full steps)
+    "deepw4_cfgw2": ({}, {"cache_schedule": "full:6,uniform:4",
+                          "cfg_schedule": "full:6,uniform:2"}),
+    "serve_w42": ({}, {"quant": "int8",
+                       "cache_schedule": "full:6,uniform:4",
+                       "cfg_schedule": "full:6,uniform:2"}),
 }
 
 
