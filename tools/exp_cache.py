@@ -92,6 +92,8 @@ def main():
         ("w3", {"cache_schedule": "full:6,uniform:3"}),
         ("w3+cfg2", {"cache_schedule": "full:6,uniform:3",
                      "cfg_interval": 2}),
+        ("w42", {"cache_schedule": "full:6,uniform:4",
+                 "cfg_schedule": "full:6,uniform:2"}),
     ]:
         c, ms = run_one(bundle, args, latents, context, **over)
         print(f"{label:14s} compile {c:6.1f}s   {ms:7.1f} ms/step",
