@@ -369,11 +369,13 @@ def main():
             print(f"[bench] int8 sidecar failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
         try:
-            # the full serving profile: int8 + deep-feature cache
-            # (both quality-gated, DESIGN.md §9)
-            serve_fps = _measure_mode_fps(bundle, args, latents, context,
-                                          "int8+cache2", quant="int8",
-                                          cache_interval=2)
+            # the full serving profile: int8 + front-loaded deep-feature
+            # cache + aligned CFG delta cache — the fastest profile that
+            # clears the 35 dB fidelity gate (38.73 dB, DESIGN.md §9)
+            serve_fps = _measure_mode_fps(
+                bundle, args, latents, context, "serve_w42", quant="int8",
+                cache_schedule="full:6,uniform:4",
+                cfg_schedule="full:6,uniform:2")
         except Exception as e:
             print(f"[bench] serve sidecar failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
