@@ -102,6 +102,45 @@ class TestFusedResnet:
                   proj=True)
         _check(p, groups=32)
 
+    def test_int8_variant_matches_quantized_oracle(self):
+        """quant=True vs an oracle that applies the identical W8A8 scheme
+        (per-out-channel int8 weights, static post-norm activation scale,
+        s32 accumulation) with plain lax ops."""
+        from vidtome_tpu.ops.quant import quantize_weight, static_act_scale
+
+        p = _make(jax.random.key(8), B=1, H=8, W=8, Ci=320, Co=320,
+                  proj=False)
+        groups = 32
+        w1q, s1 = quantize_weight(p["w1"])
+        w2q, s2 = quantize_weight(p["w2"])
+
+        def q_conv3(y, sb_scale, sb_bias, wq, sw):
+            sx = static_act_scale(sb_scale, sb_bias)
+            q = jnp.clip(jnp.round(y.astype(jnp.float32) / sx), -127,
+                         127).astype(jnp.int8)
+            dn = jax.lax.conv_dimension_numbers(q.shape, wq.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            r = jax.lax.conv_general_dilated(
+                q, wq, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            return r.astype(jnp.float32) * (sx * sw)
+
+        h = _gn_silu(p["x"], p["n1s"], p["n1b"], groups)
+        h = q_conv3(h, p["n1s"], p["n1b"], w1q, s1) \
+            + p["b1"] + p["tvec"][:, None, None, :]
+        h = _gn_silu(h.astype(jnp.bfloat16), p["n2s"], p["n2b"], groups)
+        h = q_conv3(h, p["n2s"], p["n2b"], w2q, s2) + p["b2"]
+        want = np.asarray((p["x"].astype(jnp.float32) + h)
+                          .astype(jnp.bfloat16), np.float32)
+
+        got = np.asarray(
+            fused_resnet(p["x"], p["tvec"], p["n1s"], p["n1b"], w1q,
+                         p["b1"], p["n2s"], p["n2b"], w2q, p["b2"],
+                         None, None, s1, s2, num_groups=groups,
+                         quant=True, interpret=True), np.float32)
+        scale = np.abs(want).max() + 1e-3
+        np.testing.assert_allclose(got / scale, want / scale, atol=3e-2)
+
     def test_module_dispatch_param_tree_and_output(self, monkeypatch):
         """ResnetBlock2D creates the identical parameter tree in both
         dispatch modes, and the fused path applies the standard path's

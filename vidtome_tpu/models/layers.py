@@ -212,7 +212,10 @@ class _ParamPair(nn.Module):
 
 class _ConvParams(nn.Module):
     """QConv/nn.Conv-compatible (kernel, bias) declaration (kernel first:
-    same init-RNG stream as QConv)."""
+    same init-RNG stream as QConv).  Also surfaces the module's int8
+    "qparams" entry (kernel_q + per-channel scale) when
+    ops/quant.quantize_params produced one, so the fused-resnet path can
+    run the same W8A8 serving scheme as QConv."""
 
     shape: tuple
 
@@ -220,7 +223,10 @@ class _ConvParams(nn.Module):
     def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
         b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
-        return k, b
+        if self.has_variable("qparams", "kernel_q"):
+            return k, b, (self.get_variable("qparams", "kernel_q"),
+                          self.get_variable("qparams", "scale"))
+        return k, b, None
 
 
 def _resnet_mode() -> str:
@@ -264,14 +270,15 @@ class ResnetBlock2D(nn.Module):
 
         Ci, Co = x.shape[-1], self.out_channels
         n1s, n1b = _ParamPair(Ci, name="norm1")()
-        w1, b1 = _ConvParams((3, 3, Ci, Co), name="conv1")()
-        tk, tb = _ConvParams((temb.shape[-1], Co),
-                             name="time_emb_proj")()
+        w1, b1, q1 = _ConvParams((3, 3, Ci, Co), name="conv1")()
+        tk, tb, _ = _ConvParams((temb.shape[-1], Co),
+                                name="time_emb_proj")()
         n2s, n2b = _ParamPair(Co, name="norm2")()
-        w2, b2 = _ConvParams((3, 3, Co, Co), name="conv2")()
+        w2, b2, q2 = _ConvParams((3, 3, Co, Co), name="conv2")()
         ws = bs = None
         if Ci != Co:
-            wsk, bs = _ConvParams((1, 1, Ci, Co), name="conv_shortcut")()
+            wsk, bs, _ = _ConvParams((1, 1, Ci, Co),
+                                     name="conv_shortcut")()
             ws = wsk.reshape(Ci, Co)
         te = nn.silu(temb.astype(jnp.float32))
         tvec = jnp.dot(te, tk.astype(jnp.float32)) + tb
@@ -279,9 +286,14 @@ class ResnetBlock2D(nn.Module):
         while Ci % groups1:
             groups1 //= 2
         # ops/resnet.py clamps per-tensor internally via the same rule
+        quant = q1 is not None and q2 is not None
+        if quant:
+            (w1, s1), (w2, s2) = q1, q2
+        else:
+            s1 = s2 = None
         return fused_resnet(x.astype(jnp.bfloat16), tvec, n1s, n1b, w1,
-                            b1, n2s, n2b, w2, b2, ws, bs,
-                            num_groups=groups1,
+                            b1, n2s, n2b, w2, b2, ws, bs, s1, s2,
+                            num_groups=groups1, quant=quant,
                             interpret=jax.default_backend() != "tpu",
                             ).astype(self.dtype)
 

@@ -61,11 +61,11 @@ def _group_mats(C: int, Cp: int, num_groups: int, count: int):
     return jnp.asarray(gdown), jnp.asarray(gup)
 
 
-def _pack_w(w, Cp: int, Op: int):
+def _pack_w(w, Cp: int, Op: int, dtype=jnp.bfloat16):
     """[3, 3, Cin, Cout] -> [Cp, 9, Op]: per-tap weight matrices laid out
     so one 128-lane input chunk is a contiguous block."""
     kh, kw, Ci, Co = w.shape
-    w = jnp.pad(w.astype(jnp.bfloat16),
+    w = jnp.pad(w.astype(dtype),
                 ((0, 0), (0, 0), (0, Cp - Ci), (0, Op - Co)))
     return w.reshape(kh * kw, Cp, Op).transpose(1, 0, 2)
 
@@ -89,22 +89,42 @@ def _norm_silu(x3, k, b):
     return y.astype(jnp.bfloat16)
 
 
-def _conv_taps(y, w_ref, acc, H: int, W: int):
+def _conv_taps(y, w_ref, acc, H: int, W: int, dequant=None):
     """Accumulate the 9 shifted-window dots of one input chunk.
-    y [H, W, 128] bf16 (normalized activations); w_ref [128, 9, Op]."""
+    y [H, W, 128] (bf16 activations, or int8 with ``dequant`` the
+    per-output-channel fp32 row applied to each s32 tap result);
+    w_ref [128, 9, Op]."""
     yp = jnp.pad(y, ((1, 1), (1, 1), (0, 0)))
     for i in range(9):
         dr, dc = divmod(i, 3)
         win = jax.lax.slice(yp, (dr, dc, 0), (dr + H, dc + W, yp.shape[2]))
-        acc[...] += jax.lax.dot(
-            win.reshape(H * W, -1), w_ref[:, i, :],
-            preferred_element_type=jnp.float32)
+        if dequant is None:
+            acc[...] += jax.lax.dot(
+                win.reshape(H * W, -1), w_ref[:, i, :],
+                preferred_element_type=jnp.float32)
+        else:
+            r = jax.lax.dot(win.reshape(H * W, -1), w_ref[:, i, :],
+                            preferred_element_type=jnp.int32)
+            acc[...] += r.astype(jnp.float32) * dequant
 
 
-def _kernel_a(x_ref, sb1_ref, g1d_ref, g1u_ref, w1_ref, tb1_ref,
+def _act_q(y, sb, c: int):
+    """Quantize a normalized+SiLU bf16 chunk with the static post-norm
+    scale (ops/quant.static_act_scale: amax = max(|beta| + K|gamma|)
+    over real channels, clamped; no data pass)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sb.shape[1]), 1)
+    a = jnp.abs(sb[1:2, :]) + 6.0 * jnp.abs(sb[0:1, :])
+    amax = jnp.maximum(jnp.max(jnp.where(lane < c, a, 0.0)), 0.3)
+    sx = amax / 127.0
+    q = jnp.clip(jnp.round(y.astype(jnp.float32) * (1.0 / sx)),
+                 -127, 127).astype(jnp.int8)
+    return q, sx
+
+
+def _kernel_a(x_ref, sb1_ref, g1d_ref, g1u_ref, w1_ref, sw1_ref, tb1_ref,
               h_ref, st2_ref, acc, s1, aff1, *,
               c_in: int, H: int, W: int, KC: int, MT: int, MR: int,
-              eps: float):
+              eps: float, quant: bool):
     p = pl.program_id(1)
     t = pl.program_id(2)
 
@@ -129,7 +149,11 @@ def _kernel_a(x_ref, sb1_ref, g1d_ref, g1u_ref, w1_ref, tb1_ref,
     def _conv1():
         sl = pl.ds(t * _LANES, _LANES)
         y = _norm_silu(x_ref[0], aff1[0:1, sl][0], aff1[1:2, sl][0])
-        _conv_taps(y, w1_ref, acc, H, W)
+        if quant:
+            qy, sx = _act_q(y, sb1_ref[...], c_in)
+            _conv_taps(qy, w1_ref, acc, H, W, dequant=sx * sw1_ref[...])
+        else:
+            _conv_taps(y, w1_ref, acc, H, W)
 
     @pl.when((p == 1) & (t == KC - 1))
     def _epilogue():
@@ -145,9 +169,9 @@ def _kernel_a(x_ref, sb1_ref, g1d_ref, g1u_ref, w1_ref, tb1_ref,
 
 
 def _kernel_b(h_in_ref, st2_ref, sb2_ref, g2d_ref, g2u_ref, w2_ref,
-              b2_ref, x_ref, ws_ref, o_ref, acc, aff2, *,
+              sw2_ref, b2_ref, x_ref, ws_ref, o_ref, acc, aff2, *,
               c_mid: int, H: int, W: int, KC2: int, KCX: int, MT: int,
-              MR: int, eps: float, proj: bool):
+              MR: int, eps: float, proj: bool, quant: bool):
     p = pl.program_id(1)
     t = pl.program_id(2)
 
@@ -163,7 +187,11 @@ def _kernel_b(h_in_ref, st2_ref, sb2_ref, g2d_ref, g2u_ref, w2_ref,
     def _conv2():
         sl = pl.ds(t * _LANES, _LANES)
         y = _norm_silu(h_in_ref[0], aff2[0:1, sl][0], aff2[1:2, sl][0])
-        _conv_taps(y, w2_ref, acc, H, W)
+        if quant:
+            qy, sx = _act_q(y, sb2_ref[...], c_mid)
+            _conv_taps(qy, w2_ref, acc, H, W, dequant=sx * sw2_ref[...])
+        else:
+            _conv_taps(y, w2_ref, acc, H, W)
 
     if proj:
         @pl.when((p == 0) & (t < KCX))
@@ -192,21 +220,30 @@ def _pick_mr(H: int, W: int, Op: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_groups", "eps", "interpret"),
+    static_argnames=("num_groups", "eps", "interpret", "quant"),
 )
 def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
-                 w2, b2, ws=None, bs=None, *, num_groups: int = 32,
-                 eps: float = 1e-5, interpret: bool = False):
+                 w2, b2, ws=None, bs=None, w1_scale=None, w2_scale=None,
+                 *, num_groups: int = 32, eps: float = 1e-5,
+                 interpret: bool = False, quant: bool = False):
     """Fused resnet block.  x [B, H, W, Cin] bf16; tvec [B, Cout] is the
     time_emb_proj output.  Returns [B, H, W, Cout] bf16:
       shortcut(x) + conv2(silu(gn2(conv1(silu(gn1(x))) + b1 + tvec)))
     with shortcut = identity (Cin == Cout, ws None) or 1x1 conv (ws
     [Cin, Cout] + bs).  Reference semantics: ResnetBlock2D in
-    models/layers.py (diffusers resnet.py:ResnetBlock2D)."""
+    models/layers.py (diffusers resnet.py:ResnetBlock2D).
+
+    ``quant=True`` is the W8A8 serving variant: w1/w2 are pre-quantized
+    int8 (per-output-channel scales w1_scale/w2_scale, ops/quant
+    layout), activations quantize in-kernel with the static post-norm
+    scale, taps run s8 x s8 -> s32 on the MXU (~2x bf16 rate on v5e);
+    the shortcut stays bf16 per the §8.2 exclusion policy."""
     B, H, W, Ci = x.shape
     Co = w1.shape[-1]
     assert w1.shape == (3, 3, Ci, Co) and w2.shape == (3, 3, Co, Co)
     assert (ws is None) == (Ci == Co)
+    assert (w1_scale is not None and w2_scale is not None) if quant \
+        else True, "quant=True needs per-channel weight scales"
     Cp = _round_up(Ci, _LANES)
     Op = _round_up(Co, _LANES)
     KC = Cp // _LANES
@@ -228,15 +265,22 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
                      jnp.pad(n1_bias.astype(f32), (0, Cp - Ci))])
     sb2 = jnp.stack([jnp.pad(n2_scale.astype(f32), (0, Op - Co)),
                      jnp.pad(n2_bias.astype(f32), (0, Op - Co))])
-    w1p = _pack_w(w1, Cp, Op)
-    w2p = _pack_w(w2, Op, Op)
+    wdt = jnp.int8 if quant else jnp.bfloat16
+    w1p = _pack_w(w1, Cp, Op, wdt)
+    w2p = _pack_w(w2, Op, Op, wdt)
+    if quant:
+        sw1 = jnp.pad(w1_scale.astype(f32), (0, Op - Co)).reshape(1, Op)
+        sw2 = jnp.pad(w2_scale.astype(f32), (0, Op - Co)).reshape(1, Op)
+    else:
+        sw1 = sw2 = jnp.ones((1, Op), f32)
     tb1 = (tvec.astype(f32) + b1.astype(f32)[None, :])
     tb1 = jnp.pad(tb1, ((0, 0), (0, Op - Co)))
 
     Ta = max(KC, MT)
     const = lambda b, p, t: (0, 0)  # noqa: E731
     kernel_a = functools.partial(
-        _kernel_a, c_in=Ci, H=H, W=W, KC=KC, MT=MT, MR=MR, eps=eps)
+        _kernel_a, c_in=Ci, H=H, W=W, KC=KC, MT=MT, MR=MR, eps=eps,
+        quant=quant)
     h, st2 = pl.pallas_call(
         kernel_a,
         out_shape=(jax.ShapeDtypeStruct((B, H, W, Op), jnp.bfloat16),
@@ -253,6 +297,7 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
             pl.BlockSpec((g1u.shape[0], Cp), const),
             pl.BlockSpec((_LANES, 9, Op),
                          lambda b, p, t: (jnp.minimum(t, KC - 1), 0, 0)),
+            pl.BlockSpec((1, Op), const),
             pl.BlockSpec((1, Op), lambda b, p, t: (b, 0)),
         ],
         out_specs=(
@@ -272,7 +317,7 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, sb1, g1d, g1u, w1p, tb1)
+    )(xp, sb1, g1d, g1u, w1p, sw1, tb1)
 
     proj = ws is not None
     KCX = KC if proj else 0
@@ -284,7 +329,7 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
     Tb = max(KC2, KCX, MT)
     kernel_b = functools.partial(
         _kernel_b, c_mid=Co, H=H, W=W, KC2=KC2, KCX=KCX, MT=MT, MR=MR,
-        eps=eps, proj=proj)
+        eps=eps, proj=proj, quant=quant)
     if proj:
         x_spec = pl.BlockSpec(
             (1, H, W, _LANES),
@@ -320,6 +365,7 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
             pl.BlockSpec((_LANES, 9, Op),
                          lambda b, p, t: (jnp.minimum(t, KC2 - 1), 0, 0)),
             pl.BlockSpec((1, Op), const),
+            pl.BlockSpec((1, Op), const),
             x_spec,
             ws_spec,
         ],
@@ -335,5 +381,5 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(h, st2, sb2, g2d, g2u, w2p, b2p, xp, ws_in)
+    )(h, st2, sb2, g2d, g2u, w2p, sw2, b2p, xp, ws_in)
     return out[..., :Co]
