@@ -99,7 +99,46 @@ def timed(fn, p):
     return (time.time() - t0) / N_ITERS * 1e3
 
 
+def xla_resnet_int8(x, tvec, n1s, n1b, w1, b1, n2s, n2b, w2, b2, ws=None,
+                    bs=None, groups=32, eps=1e-5):
+    """The op sequence the W8A8 serving path emits (QConv int8 +
+    static activation scales), for the same-scheme comparison."""
+    from vidtome_tpu.ops.quant import static_act_scale
+
+    def gn_silu(v, s, bvec):
+        B, H, W, C = v.shape
+        vf = v.astype(jnp.float32).reshape(B, H * W, groups, C // groups)
+        mean = vf.mean(axis=(1, 3), keepdims=True)
+        var = vf.var(axis=(1, 3), keepdims=True)
+        y = (vf - mean) * jax.lax.rsqrt(var + eps)
+        y = y.reshape(B, H, W, C) * s + bvec
+        y = y * jax.nn.sigmoid(y)
+        return y.astype(v.dtype)
+
+    def q_conv3(y, ns, nb, wq, sw):
+        sx = static_act_scale(ns, nb)
+        q = jnp.clip(jnp.round(y.astype(jnp.float32) / sx), -127,
+                     127).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(q.shape, wq.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        r = jax.lax.conv_general_dilated(
+            q, wq, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        return r.astype(jnp.float32) * (sx * sw)
+
+    h = gn_silu(x, n1s, n1b)
+    h = q_conv3(h, n1s, n1b, w1[0], w1[1]) \
+        + (b1 + tvec)[:, None, None, :]
+    h = gn_silu(h.astype(jnp.bfloat16), n2s, n2b)
+    h = q_conv3(h, n2s, n2b, w2[0], w2[1]) + b2
+    sc = (x.astype(jnp.float32) if ws is None
+          else jnp.dot(x, ws.astype(x.dtype)).astype(jnp.float32) + bs)
+    return (sc + h).astype(jnp.bfloat16)
+
+
 def main():
+    from vidtome_tpu.ops.quant import quantize_weight
+
     shapes = [
         ("L0 down 320->320", dict(B=8, H=64, W=64, Ci=320, Co=320,
                                   proj=False), 32),
@@ -124,6 +163,22 @@ def main():
         ms_fus = timed(lambda *a: fused_resnet(*a, num_groups=groups), p)
         print(f"{label}:  xla {ms_xla:7.3f}ms  fused {ms_fus:7.3f}ms  "
               f"({ms_xla / ms_fus:4.2f}x)  maxerr {err:.4f}", flush=True)
+
+        # --- int8 serving variants of the same block ---
+        w1q = quantize_weight(p["w1"])
+        w2q = quantize_weight(p["w2"])
+        pq = dict(p, w1=w1q, w2=w2q)
+
+        def fused_q(x, tvec, n1s, n1b, w1, b1, n2s, n2b, w2, b2,
+                    ws=None, bs=None):
+            return fused_resnet(x, tvec, n1s, n1b, w1[0], b1, n2s, n2b,
+                                w2[0], b2, ws, bs, w1[1], w2[1],
+                                num_groups=groups, quant=True)
+
+        ms_xq = timed(lambda *a: xla_resnet_int8(*a, groups=groups), pq)
+        ms_fq = timed(fused_q, pq)
+        print(f"{label} [int8]:  xla {ms_xq:7.3f}ms  fused "
+              f"{ms_fq:7.3f}ms  ({ms_xq / ms_fq:4.2f}x)", flush=True)
 
 
 if __name__ == "__main__":
