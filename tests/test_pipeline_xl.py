@@ -141,6 +141,29 @@ def test_two_stage_refiner_generation(xl_bundle, tmp_path):
     assert np.abs(refined - base_only).max() > 1e-6
 
 
+def test_two_stage_refiner_with_step_caches(xl_bundle, tmp_path):
+    """Step caches across a refiner split: the refiner stage samples from
+    a mid-schedule start, so its refresh masks must rebuild relative to
+    that start (first refiner step refreshes an empty cache)."""
+    from vidtome_tpu.pipeline.generator import Generator
+    from vidtome_tpu.pipeline.inverter import Inverter
+
+    video = make_tiny_video(str(tmp_path / "v"), n_frames=4, size=64)
+    cfg = _base_config(str(tmp_path), video, merge_global=True)
+    cfg["sd_version"] = "xl"
+    cfg["generation"]["cache_interval"] = 2
+    cfg["generation"]["cfg_interval"] = 2
+    cfg["generation"]["refiner"] = {
+        "sd_version": "tiny-refiner", "denoising_start": 0.8,
+        "aesthetic_score": 6.0, "negative_aesthetic_score": 2.5}
+    Inverter(xl_bundle, cfg, use_pallas=False)(
+        cfg.input_path, cfg.inversion.save_path)
+    gen = Generator(xl_bundle, cfg, use_pallas=False)
+    out = gen(cfg.input_path, cfg.generation.latents_path,
+              cfg.generation.output_path, frame_ids=list(range(4)))["edit"]
+    assert np.isfinite(out).all()
+
+
 def test_refiner_rejects_non_xl_base(tmp_path):
     """The refiner denoises SDXL-VAE latents; chaining onto an SD1.5 base
     must fail loudly at construction, not corrupt output silently."""

@@ -396,7 +396,10 @@ class Generator:
                     variables, x_in, t, ctx, tome_call=tome_call,
                     num_lanes=lanes_eff, mutable=["tome_bank"],
                     **pnp_kwargs, **kwargs, **xl_kwargs)
-                banks_out = mut["tome_bank"]
+                # cache-shallow steps on models whose level-0 blocks have
+                # no attention (SDXL: down block 0 is attention-free) run
+                # no merging at all — the bank collection stays untouched
+                banks_out = mut.get("tome_bank", banks)
             else:
                 eps_all = unet.apply(
                     variables, x_in, t, ctx, tome_call=tome_call,
