@@ -353,6 +353,9 @@ def main():
         pallas_shallow = _pallas_attn_flops_per_step(gen, latent,
                                                      only_level0=True)
         shallow_step = f_shallow * n_chunks + pallas_shallow
+        print(f"[bench] cache mode: shallow step = "
+              f"{shallow_step / 1e12:.2f} TFLOP vs full "
+              f"{flops_per_step / 1e12:.2f}", file=sys.stderr)
         xla_per_step = (xla_per_step
                         + (args.cache - 1) * f_shallow * n_chunks
                         ) / args.cache
@@ -582,6 +585,7 @@ def _measure_mode_fps(bundle, args, latents, context, label,
         "local_merge_ratio": 0.9, "merge_global": True,
         "global_merge_ratio": 0.8, "global_rand": 0.5,
         "align_batch": False, "save_frame": False,
+        "merge_crossattn": args.ldm, "merge_ff": args.ldm,
     }
     gene.update(gene_overrides)
     cfg = Config({

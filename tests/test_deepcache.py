@@ -148,6 +148,17 @@ class TestGeneratorCacheInterval:
         assert np.sqrt((diff ** 2).mean()) < 80.0
 
 
+def test_pnp_rejects_deep_cache(bundle, tmp_path):
+    """Shallow steps skip the up-block-1 PnP injections, so the
+    combination fails fast at construction (no gated profile exists)."""
+    from vidtome_tpu.pipeline.generator import Generator
+
+    cfg = _gen_config(str(tmp_path), "unused", control="pnp",
+                      cache_interval=2)
+    with pytest.raises(ValueError, match="pnp"):
+        Generator(bundle, cfg, use_pallas=False)
+
+
 class TestRefreshMask:
     def test_uniform_interval(self):
         from vidtome_tpu.pipeline.generator import refresh_mask

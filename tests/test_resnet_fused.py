@@ -174,6 +174,30 @@ class TestFusedResnet:
         scale = np.abs(a).max() + 1e-3
         np.testing.assert_allclose(b / scale, a / scale, atol=3e-2)
 
+    def test_module_dispatch_int8(self, monkeypatch):
+        """fused mode on a quantize_params-stripped tree (the W8A8
+        serving combination): the bf16 kernel param no longer exists, so
+        the holder must take the qparams branch like QConv does."""
+        from vidtome_tpu.models.layers import ResnetBlock2D
+        from vidtome_tpu.ops.quant import quantize_params
+
+        x = jax.random.normal(jax.random.key(9), (1, 8, 8, 64),
+                              jnp.bfloat16)
+        temb = jax.random.normal(jax.random.key(10), (1, 32), jnp.bfloat16)
+        block = ResnetBlock2D(64, dtype=jnp.bfloat16)
+        params = block.init(jax.random.key(11), x, temb)["params"]
+        res, qp = quantize_params(params)
+        assert "kernel" not in res["conv1"]  # really stripped
+        y_std = block.apply({"params": res, "qparams": qp}, x, temb)
+
+        monkeypatch.setenv("VIDTOME_RESNET_MODE", "fused")
+        block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True)
+        y_fused = block_f.apply({"params": res, "qparams": qp}, x, temb)
+        a = np.asarray(y_std, np.float32)
+        b = np.asarray(y_fused, np.float32)
+        scale = np.abs(a).max() + 1e-3
+        np.testing.assert_allclose(b / scale, a / scale, atol=4e-2)
+
     def test_module_dispatch_projected(self, monkeypatch):
         from vidtome_tpu.models.layers import ResnetBlock2D
 

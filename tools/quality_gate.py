@@ -84,8 +84,8 @@ GATES = {
     # N steps, level-0-only in between
     "deepcache2": ({}, {"cache_interval": 2}),
     "deepcache3": ({}, {"cache_interval": 3}),
-    # CFG/uncond-lane cache: refresh the uncond eps every N steps, run
-    # cond-only in between
+    # CFG delta cache: refresh the guidance delta every N steps, run
+    # cond-only in between (eps = cond + (gs-1)*delta)
     "cfgcache2": ({}, {"cfg_interval": 2}),
     "cfgcache3": ({}, {"cfg_interval": 3}),
     # combined step-cache profile (bf16) and the full serving profiles

@@ -182,7 +182,7 @@ def main():
                 # collapse "%fusion.1234" -> "fusion" family for ranking
                 fam = re.sub(r"\.\d+.*$", "", ev.name.lstrip("%"))
                 by_name[fam] += dur
-                by_cat[_classify(ev.name, _event_stats(ev))] += dur
+                by_cat[_classify(ev.name)] += dur
                 total += dur
     if total == 0.0:
         # fall back: dump plane/line names to adapt the filter

@@ -221,11 +221,16 @@ class _ConvParams(nn.Module):
 
     @nn.compact
     def __call__(self):
+        if self.has_variable("qparams", "kernel_q"):
+            # quantize_params strips the bf16 kernel from quantized
+            # layers; declaring it here would ScopeParamNotFoundError on
+            # apply — mirror QConv's qparams-first order exactly
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.shape[-1],))
+            return None, b, (self.get_variable("qparams", "kernel_q"),
+                             self.get_variable("qparams", "scale"))
         k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
         b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
-        if self.has_variable("qparams", "kernel_q"):
-            return k, b, (self.get_variable("qparams", "kernel_q"),
-                          self.get_variable("qparams", "scale"))
         return k, b, None
 
 
@@ -287,6 +292,11 @@ class ResnetBlock2D(nn.Module):
             groups1 //= 2
         # ops/resnet.py clamps per-tensor internally via the same rule
         quant = q1 is not None and q2 is not None
+        assert (q1 is None) == (q2 is None), (
+            "fused resnet needs conv1/conv2 quantized together (the "
+            "ops/quant policy always does)")
+        assert tk is not None, (
+            "time_emb_proj must stay bf16 (ops/quant policy excludes it)")
         if quant:
             (w1, s1), (w2, s2) = q1, q2
         else:

@@ -120,6 +120,7 @@ def int8_conv(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
 # K*|gamma_c|).  Values beyond the clip saturate to +-127 (rare, and mild
 # clipping is benign for int8 quality).
 _STATIC_K = 6.0
+_STATIC_AMAX_FLOOR = 0.3  # shared with ops/resnet._act_q
 
 
 def static_act_scale(norm_scale, norm_bias):
@@ -129,7 +130,7 @@ def static_act_scale(norm_scale, norm_bias):
     amax = jnp.maximum(
         jnp.max(jnp.abs(norm_bias.astype(jnp.float32))
                 + _STATIC_K * jnp.abs(norm_scale.astype(jnp.float32))),
-        0.3)
+        _STATIC_AMAX_FLOOR)
     return amax / 127.0
 
 

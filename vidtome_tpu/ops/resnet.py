@@ -110,11 +110,15 @@ def _conv_taps(y, w_ref, acc, H: int, W: int, dequant=None):
 
 def _act_q(y, sb, c: int):
     """Quantize a normalized+SiLU bf16 chunk with the static post-norm
-    scale (ops/quant.static_act_scale: amax = max(|beta| + K|gamma|)
-    over real channels, clamped; no data pass)."""
+    scale (the in-kernel restatement of ops/quant.static_act_scale:
+    amax = max(|beta| + K|gamma|) over real channels, clamped — the
+    constants are imported so the two paths cannot drift)."""
+    from vidtome_tpu.ops.quant import _STATIC_AMAX_FLOOR, _STATIC_K
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, sb.shape[1]), 1)
-    a = jnp.abs(sb[1:2, :]) + 6.0 * jnp.abs(sb[0:1, :])
-    amax = jnp.maximum(jnp.max(jnp.where(lane < c, a, 0.0)), 0.3)
+    a = jnp.abs(sb[1:2, :]) + _STATIC_K * jnp.abs(sb[0:1, :])
+    amax = jnp.maximum(jnp.max(jnp.where(lane < c, a, 0.0)),
+                       _STATIC_AMAX_FLOOR)
     sx = amax / 127.0
     q = jnp.clip(jnp.round(y.astype(jnp.float32) * (1.0 / sx)),
                  -127, 127).astype(jnp.int8)

@@ -159,12 +159,12 @@ class Generator:
         # used by tests).  No reference counterpart — the TPU-serving
         # analog of training-free step-caching (DeepCache-style).
         self.cache_interval = int(gene.get("cache_interval", 0) or 0)
-        # CFG/uncond-lane cache (same quality-gate regime): refresh the
-        # uncond lane's eps every `cfg_interval` steps and reuse it in
-        # between — skip steps run only the cond lane (plus the PnP source
-        # lane), cutting the skipped lane's full UNet cost.  The uncond
-        # prediction varies slowly across adjacent timesteps relative to
-        # the guidance delta, the usual justification for CFG caching.
+        # CFG delta cache (same quality-gate regime): refresh steps run
+        # both lanes and store the guidance DELTA (cond - uncond); skip
+        # steps drop the uncond lane from the batch (keeping the PnP
+        # source lane) and apply eps = cond + (gs-1)*delta.  Caching the
+        # delta rather than the uncond eps is load-bearing — see
+        # chunk_eps and DESIGN §9.1.
         self.cfg_interval = int(gene.get("cfg_interval", 0) or 0)
         # Non-uniform refresh schedules (override the uniform intervals):
         # comma-separated segments consumed in order from the sampling
@@ -177,6 +177,17 @@ class Generator:
         self.cfg_schedule = gene.get("cfg_schedule") or None
         self.cache_on = bool(self.cache_interval or self.cache_schedule)
         self.cfg_on = bool(self.cfg_interval or self.cfg_schedule)
+        if self.cache_on and self.use_pnp:
+            # shallow steps run only the level-0 UNet path, which skips
+            # the up-block-1 PnP conv/attention injections — the flagship
+            # PnP mechanism would silently half-disable mid-schedule.  No
+            # PnP+deepcache profile has a quality gate; fail fast.
+            raise ValueError(
+                "cache_interval/cache_schedule cannot be combined with "
+                "control: pnp — cached (shallow) steps skip the up-block-1 "
+                "feature injections.  Use cfg_interval/cfg_schedule (the "
+                "CFG delta cache keeps all injections) or disable the "
+                "deep-feature cache.")
 
         resolve_precision(config, gene, bundle)
         self.scheduler = DDIMScheduler.create(self.n_timesteps)
@@ -325,9 +336,10 @@ class Generator:
               * caches["deep"] [num_lanes, Fpad, h, w, c] — deep-feature
                 cache: cache_mode "full" refreshes this chunk's slice,
                 "shallow" serves the UNet's deep trunk from it.
-              * caches["ucond"] [Fpad, h, w, 4] fp32 — the uncond lane's
-                eps: ``cfg_skip`` steps drop the uncond lane from the
-                batch and reuse this instead; refresh steps update it.
+              * caches["ucond"] [Fpad, h, w, 4] fp32 — the guidance
+                DELTA (cond - uncond): ``cfg_skip`` steps drop the
+                uncond lane from the batch and apply
+                eps = cond + (gs-1)*delta; refresh steps update it.
             """
             unet_params = params["unet"]
             cn_params = params.get("controlnet")
@@ -487,7 +499,7 @@ class Generator:
             placeholders when the caches are off); mode_tab is the
             [num_steps, 2] int32 refresh table from _mode_masks (column 0:
             run the full UNet and refresh the deep cache; column 1:
-            refresh the uncond-eps cache) — built per sampling start so a
+            refresh the CFG delta cache) — built per sampling start so a
             refiner stage entering mid-schedule still opens with
             cache-refreshing full steps.  Scalar placeholder when both
             caches are off."""
@@ -545,7 +557,7 @@ class Generator:
 
     def _cache_buffers(self, x):
         """Zeros for the serving caches: deep-feature cache
-        [lanes, Fpad, h, w, Cdeep] + uncond-eps cache [Fpad, h, w, 4]
+        [lanes, Fpad, h, w, Cdeep] + CFG-delta cache [Fpad, h, w, 4]
         (scalar placeholders when the corresponding interval is 0 — the
         donation slot still needs leaves).  The two placeholders must be
         DISTINCT buffers: the caches pytree is donated, and donating one
@@ -564,7 +576,7 @@ class Generator:
 
     def _mode_masks(self, start: int = 0):
         """[num_steps, 2] int32 refresh table for sample_block (column 0:
-        deep-feature cache, column 1: uncond-eps cache), or a scalar
+        deep-feature cache, column 1: CFG delta cache), or a scalar
         placeholder when both caches are off."""
         if not (self.cache_on or self.cfg_on):
             return jnp.zeros((), jnp.int32)
@@ -573,6 +585,20 @@ class Generator:
                             n, start)
         cfgm = refresh_mask(self.cfg_schedule, self.cfg_interval or 1,
                             n, start)
+        if self.cache_on and self.cfg_on:
+            # The uncond lane's deep-cache slice only refreshes on steps
+            # that are BOTH deep-full and cfg-full (cfg-skip steps drop
+            # the lane from the batch).  Misaligned schedules make that
+            # slice much staler than either schedule implies — measured
+            # to degrade quality past both individual gates (DESIGN §9,
+            # serve32 27.2 dB vs its levers' 33+).
+            misaligned = int((deep[start:] & ~cfgm[start:]).sum())
+            if misaligned:
+                print(f"[WARNING] {misaligned} deep-cache refresh steps "
+                      "fall on CFG-skip steps: the uncond lane's deep "
+                      "cache will be stale there. Align the schedules "
+                      "(make every cache refresh a cfg refresh, e.g. "
+                      "deep uniform:4 + cfg uniform:2).")
         return jnp.asarray(np.stack([deep, cfgm], axis=1), jnp.int32)
 
     def warmup(self, x, context):
