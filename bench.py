@@ -272,8 +272,9 @@ def main():
     # warm with the EXACT executable (full frame count): the scanned step
     # compiles per batch count, so a smaller warmup would leave the compile
     # inside the timing
-    warm = inv._full_step(inv._params, jnp.copy(lat0), inv._tables,
-                          jnp.asarray(0, jnp.int32), True, conds, None, None)
+    warm, _d = inv._full_step(inv._params, jnp.copy(lat0), inv._tables,
+                              jnp.asarray(0, jnp.int32), True, conds,
+                              None, None, jnp.zeros((), jnp.bfloat16))
     _ = float(jnp.sum(warm))
     t0 = time.time()
     out = inv._run(lat0, conds, None, None, inversion=True)
@@ -741,9 +742,9 @@ def bench_sdxl(args):
     lat0 = jax.random.normal(jax.random.key(5),
                              (args.frames, latent, latent, 4), jnp.bfloat16)
     t0 = time.time()
-    warm = inv._full_step(inv._params, jnp.copy(lat0), inv._tables,
-                          jnp.asarray(0, jnp.int32), True, conds, None,
-                          None)
+    warm, _d = inv._full_step(inv._params, jnp.copy(lat0), inv._tables,
+                              jnp.asarray(0, jnp.int32), True, conds,
+                              None, None, jnp.zeros((), jnp.bfloat16))
     _ = float(jnp.sum(warm))
     print(f"[bench] SDXL inversion compile in {time.time() - t0:.1f}s",
           file=sys.stderr)

@@ -148,6 +148,39 @@ class TestGeneratorCacheInterval:
         assert np.sqrt((diff ** 2).mean()) < 80.0
 
 
+class TestInversionCache:
+    """Deep-feature step cache on the inversion loop (inversion.
+    cache_interval / cache_schedule — static per-step mode, no cond)."""
+
+    def _invert(self, bundle, tmp_path, video_dir, **inv_overrides):
+        from vidtome_tpu.pipeline.inverter import Inverter
+
+        cfg = _gen_config(str(tmp_path), video_dir)
+        cfg["inversion"].update(inv_overrides)
+        inv = Inverter(bundle, cfg, use_pallas=False)
+        inv(cfg.input_path, cfg.inversion.save_path)
+        import glob
+
+        files = sorted(glob.glob(
+            os.path.join(cfg.inversion.save_path, "**", "*.npy"),
+            recursive=True))
+        assert files
+        return np.load(files[-1])
+
+    def test_interval1_matches_off(self, bundle, video_dir, tmp_path):
+        a = self._invert(bundle, tmp_path / "a", video_dir)
+        b = self._invert(bundle, tmp_path / "b", video_dir,
+                         cache_interval=1)
+        np.testing.assert_array_equal(a, b)
+
+    def test_schedule_runs(self, bundle, video_dir, tmp_path):
+        a = self._invert(bundle, tmp_path / "a", video_dir)
+        b = self._invert(bundle, tmp_path / "b", video_dir,
+                         cache_schedule="full:2,uniform:2")
+        assert b.shape == a.shape
+        assert np.isfinite(b).all()
+
+
 def test_pnp_rejects_deep_cache(bundle, tmp_path):
     """Shallow steps skip the up-block-1 PnP injections, so the
     combination fails fast at construction (no gated profile exists)."""

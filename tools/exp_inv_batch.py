@@ -48,9 +48,10 @@ def main():
         lat = jax.random.normal(jax.random.key(5),
                                 (frames, latent, latent, 4), jnp.bfloat16)
         t0 = time.time()
-        warm = inv._full_step(inv._params, jnp.copy(lat), inv._tables,
-                              jnp.asarray(0, jnp.int32), True, conds,
-                              None, None)
+        warm, _d = inv._full_step(inv._params, jnp.copy(lat), inv._tables,
+                                  jnp.asarray(0, jnp.int32), True, conds,
+                                  None, None,
+                                  jnp.zeros((), jnp.bfloat16))
         _ = float(jnp.sum(warm))
         print(f"bs={bs}: compile {time.time() - t0:.1f}s", file=sys.stderr)
         t0 = time.time()

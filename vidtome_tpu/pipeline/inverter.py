@@ -45,6 +45,13 @@ class Inverter:
         self.save_steps = int(inv.get("save_steps", self.steps))
         self.save_intermediate = bool(inv.get("save_intermediate", False))
         self.batch_size = int(inv.get("batch_size", 8))
+        # Deep-feature step cache for the inversion loop (same UNet
+        # full/shallow split as generation — DESIGN §9.1; inversion has
+        # one lane, so only the deep cache applies).  Opt-in: inversion
+        # feeds everything downstream, so gate before defaulting.
+        self.cache_interval = int(inv.get("cache_interval", 0) or 0)
+        self.cache_schedule = inv.get("cache_schedule") or None
+        self.cache_on = bool(self.cache_interval or self.cache_schedule)
         self.n_frames = inv.get("n_frames", None)
         self.force = bool(inv.get("force", False))
         self.recon = bool(inv.get("recon", False))
@@ -116,7 +123,7 @@ class Inverter:
         height, width = float(self.height), float(self.width)
 
         def eps_fn(params, x, tables, step_i, inversion, context, depth,
-                   control_images):
+                   control_images, cache_mode="off", deep_b=None):
             """x: [b, h, w, 4] latents for a frame batch.  ``context`` is
             the per-frame context array, or (context, pooled) for SDXL."""
             t = jnp.where(inversion, tables["t_up"][step_i],
@@ -139,26 +146,38 @@ class Inverter:
             variables = {"params": params["unet"]}
             if "unet_q" in params:
                 variables["qparams"] = params["unet_q"]
+            if cache_mode == "shallow":
+                kwargs.update(cache_mode="shallow", deep_cache=deep_b)
+            elif cache_mode == "full":
+                kwargs.update(cache_mode="full")
             return unet.apply(variables, x, t, context, **kwargs)
 
         bs = self.batch_size
 
-        @functools.partial(jax.jit, static_argnames=("inversion",),
-                           donate_argnums=(1,))
+        @functools.partial(jax.jit,
+                           static_argnames=("inversion", "cache_mode"),
+                           donate_argnums=(1, 8))
         def full_step(params, x, tables, step_i, inversion, conds, depth,
-                      control):
+                      control, deep, cache_mode="off"):
             """One DDIM timestep over ALL frames: lax.scan over fixed-size
             frame micro-batches (one dispatch per timestep; per-frame work
-            is independent, reference invert.py:122-131)."""
+            is independent, reference invert.py:122-131).
+
+            ``cache_mode``/``deep``: the deep-feature step cache (same
+            full/shallow UNet split as generation, DESIGN §9.1) — the
+            Python step loop makes the mode STATIC per dispatch, so there
+            is no lax.cond: just two executables.  ``deep`` is
+            [n, h, w, Cdeep] (scalar placeholder when off)."""
             n = x.shape[0]
             nb = n // bs
 
             def body(_, inputs):
-                xb, cb, db, ctb = inputs
-                eps = eps_fn(params, shard_fn(xb), tables, step_i,
+                xb, cb, db, ctb, dpb = inputs
+                out = eps_fn(params, shard_fn(xb), tables, step_i,
                              jnp.asarray(inversion),
-                             jax.tree.map(shard_fn, cb), db, ctb)
-                return None, eps
+                             jax.tree.map(shard_fn, cb), db, ctb,
+                             cache_mode, dpb)
+                return None, out
 
             def batched_one(a):
                 if a is None or a.ndim == 0:
@@ -168,15 +187,20 @@ class Inverter:
             def batched(a):
                 return jax.tree.map(batched_one, a)
 
-            _, eps_all = jax.lax.scan(
+            _, out = jax.lax.scan(
                 body, None,
                 (batched(x), batched(conds), batched(depth),
-                 batched(control)))
+                 batched(control), batched(deep)))
+            if cache_mode == "full":
+                eps_all, deep_all = out
+                deep = deep_all.reshape(n, *deep_all.shape[2:])
+            else:
+                eps_all = out
             eps = eps_all.reshape(n, *eps_all.shape[2:])
             a = tables["inv_a"][step_i] if inversion else \
                 tables["smp_a"][step_i]
             fn = ddim_inverse_step if inversion else ddim_step
-            return fn(x, eps, a[0], a[1]).astype(x.dtype)
+            return fn(x, eps, a[0], a[1]).astype(x.dtype), deep
 
         self._eps = jax.jit(eps_fn)
         self._full_step = full_step
@@ -204,10 +228,24 @@ class Inverter:
         conds_p = self._pad_frames(conds, n_p)
         depth_p = self._pad_frames(depth, n_p)
         control_p = self._pad_frames(control, n_p)
+        if self.cache_on:
+            from vidtome_tpu.pipeline.generator import refresh_mask
+
+            mask = refresh_mask(self.cache_schedule,
+                                self.cache_interval or 1,
+                                self.scheduler.num_steps)
+            ch = self.bundle.unet_config.block_out_channels[1]
+            deep = jnp.zeros(x.shape[:3] + (ch,), x.dtype)
+        else:
+            mask = None
+            deep = jnp.zeros((), x.dtype)
         for i in range(self.scheduler.num_steps):
-            x = self._full_step(self._params, x, self._tables,
-                                jnp.asarray(i, jnp.int32), inversion,
-                                conds_p, depth_p, control_p)
+            mode = ("off" if mask is None
+                    else ("full" if mask[i] else "shallow"))
+            x, deep = self._full_step(self._params, x, self._tables,
+                                      jnp.asarray(i, jnp.int32), inversion,
+                                      conds_p, depth_p, control_p, deep,
+                                      cache_mode=mode)
             if on_step is not None:
                 # hand the padded buffer to the hook; it slices [:n] only
                 # when it actually saves (an unconditional x[:n] here would
