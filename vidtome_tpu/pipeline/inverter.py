@@ -154,9 +154,12 @@ class Inverter:
 
         bs = self.batch_size
 
+        # deep is NOT donated: in "off"/"shallow" modes it is returned
+        # unchanged, and the copy a full step saves is ~0.2ms — not worth
+        # an aliasing pattern this path can't re-verify on TPU today
         @functools.partial(jax.jit,
                            static_argnames=("inversion", "cache_mode"),
-                           donate_argnums=(1, 8))
+                           donate_argnums=(1,))
         def full_step(params, x, tables, step_i, inversion, conds, depth,
                       control, deep, cache_mode="off"):
             """One DDIM timestep over ALL frames: lax.scan over fixed-size
