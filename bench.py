@@ -373,7 +373,12 @@ def main():
     # docs/DESIGN.md §9) so the round JSON carries both numbers.
     int8_fps = None
     serve_fps = None
-    if not args.quick and not args.int8 and not args.pnp and not args.cache:
+    # sidecars (and the serve headline swap) only on pure default runs:
+    # --ldm / --no-share-match are exact-pipeline comparison modes, and
+    # serve+ldm would be a quality-ungated combination
+    if (not args.quick and not args.int8 and not args.pnp
+            and not args.cache and not args.ldm
+            and not args.no_share_match):
         try:
             int8_fps = _measure_mode_fps(bundle, args, latents, context,
                                          "int8", quant="int8")
