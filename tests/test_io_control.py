@@ -230,3 +230,96 @@ class TestControlNetModel:
         # zero-init output convs -> zero residuals at init
         assert all(float(abs(r).max()) == 0.0 for r in down_r)
         assert float(abs(mid_r).max()) == 0.0
+
+
+class TestTextEncoderLoRA:
+    """The reference's pipe.load_lora_weights (generate.py:93-94) applies
+    text-encoder LoRA components too — ours must as well."""
+
+    def test_te_kohya_merge(self):
+        import jax.numpy as jnp
+
+        from vidtome_tpu.models.lora import merge_lora_text_state
+
+        rng = np.random.default_rng(7)
+        params = {"layers_0": {"self_attn": {"q_proj": {
+            "kernel": jnp.zeros((24, 24), jnp.float32)}}}}
+        up = rng.standard_normal((24, 4)).astype(np.float32)
+        down = rng.standard_normal((4, 24)).astype(np.float32)
+        state = {
+            "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_up.weight": up,
+            "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_down.weight": down,
+            "lora_te_text_model_encoder_layers_0_self_attn_q_proj.alpha": np.float32(8.0),
+        }
+        merged = merge_lora_text_state(params, state, scale=0.5)
+        got = np.asarray(merged["layers_0"]["self_attn"]["q_proj"]["kernel"])
+        np.testing.assert_allclose(got, 0.5 * (8.0 / 4) * (up @ down).T,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_te_peft_format_mlp(self):
+        import jax.numpy as jnp
+
+        from vidtome_tpu.models.lora import merge_lora_text_state
+
+        rng = np.random.default_rng(8)
+        params = {"layers_1": {"fc1": {
+            "kernel": jnp.zeros((16, 32), jnp.float32)}}}
+        up = rng.standard_normal((32, 2)).astype(np.float32)
+        down = rng.standard_normal((2, 16)).astype(np.float32)
+        state = {
+            "text_encoder.text_model.encoder.layers.1.mlp.fc1.lora_B.weight": up,
+            "text_encoder.text_model.encoder.layers.1.mlp.fc1.lora_A.weight": down,
+        }
+        merged = merge_lora_text_state(params, state, scale=1.0)
+        got = np.asarray(merged["layers_1"]["fc1"]["kernel"])
+        np.testing.assert_allclose(got, (up @ down).T, rtol=1e-5, atol=1e-5)
+
+    def test_bundle_apply_unet_and_te(self, tmp_path):
+        """A LoRA with both UNet and TE tensors changes both trees and the
+        text-encoder output."""
+        import jax.numpy as jnp
+
+        from tests.helpers import make_tiny_bundle
+        from vidtome_tpu.models.lora import apply_lora_bundle
+        from vidtome_tpu.pipeline.common import TextEncoder
+
+        bundle = make_tiny_bundle()
+        rng = np.random.default_rng(9)
+
+        qk = bundle.text_params["layers_0"]["self_attn"]["q_proj"]["kernel"]
+        c = qk.shape[0]
+        te_up = rng.standard_normal((qk.shape[1], 2)).astype(np.float32)
+        te_down = rng.standard_normal((2, c)).astype(np.float32)
+
+        uk = bundle.unet_params["down_0_attentions_0"]["transformer_blocks_0"][
+            "attn1"]["to_q"]["kernel"]
+        u_up = rng.standard_normal((uk.shape[1], 2)).astype(np.float32)
+        u_down = rng.standard_normal((2, uk.shape[0])).astype(np.float32)
+
+        state = {
+            "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_up.weight": te_up,
+            "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_down.weight": te_down,
+            "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_up.weight": u_up,
+            "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_down.weight": u_down,
+        }
+        import safetensors.numpy
+
+        path = str(tmp_path / "lora.safetensors")
+        safetensors.numpy.save_file(state, path)
+
+        before = np.asarray(TextEncoder(bundle)("a prompt"))
+        old_q = np.asarray(qk)
+        apply_lora_bundle(bundle, {"path": path, "weight": 1.0})
+
+        got_q = np.asarray(
+            bundle.text_params["layers_0"]["self_attn"]["q_proj"]["kernel"])
+        np.testing.assert_allclose(got_q, old_q + (te_up @ te_down).T,
+                                   rtol=1e-4, atol=1e-4)
+        got_u = np.asarray(
+            bundle.unet_params["down_0_attentions_0"]["transformer_blocks_0"][
+                "attn1"]["to_q"]["kernel"])
+        np.testing.assert_allclose(
+            got_u, np.asarray(uk) + (u_up @ u_down).T, rtol=1e-4, atol=1e-4)
+
+        after = np.asarray(TextEncoder(bundle)("a prompt"))
+        assert not np.allclose(before, after)

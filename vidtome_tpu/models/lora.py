@@ -1,16 +1,17 @@
-"""LoRA adapter loading: merge low-rank updates into UNet params.
+"""LoRA adapter loading: merge low-rank updates into UNet + CLIP params.
 
 The reference delegates to ``pipe.load_lora_weights`` (`generate.py:93-94`
-in lixirui142/VidToMe).  Here LoRA safetensors are merged weight-level
-(W += scale * (alpha/rank) * B @ A) into our flax param tree — merge-on-
+in lixirui142/VidToMe), which applies both the UNet and the text-encoder
+components of a LoRA.  Here LoRA safetensors are merged weight-level
+(W += scale * (alpha/rank) * B @ A) into our flax param trees — merge-on-
 load is the right call for a frozen inference pipeline: zero runtime cost.
 
 Supported key formats:
-  * kohya/webui:  lora_unet_<path_with_underscores>.lora_up.weight /
-                  .lora_down.weight / .alpha
-  * diffusers/peft: unet.<dotted.path>.lora_A.weight / lora_B.weight
-
-Text-encoder LoRAs (lora_te_*) are skipped with a warning for now.
+  * kohya/webui:  lora_unet_<path> / lora_te_<path> (SDXL: lora_te1_ /
+                  lora_te2_) with .lora_up.weight / .lora_down.weight /
+                  .alpha leaves
+  * diffusers/peft: unet.<dotted>.lora_A.weight / lora_B.weight, plus
+                  text_encoder.<dotted> / text_encoder_2.<dotted>
 """
 
 from __future__ import annotations
@@ -21,35 +22,54 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-from vidtome_tpu.models.convert import _UNET_RULES, _rewrite, load_safetensors
+from vidtome_tpu.models.convert import (_TEXT_RULES, _UNET_RULES, _rewrite,
+                                        load_safetensors)
 
 
-def _kohya_to_dotted(name: str) -> str:
-    """lora_unet_down_blocks_0_attentions_0_... -> down_blocks.0.attentions.0..."""
-    name = name[len("lora_unet_"):]
+def _kohya_to_dotted(name: str, mods: tuple[str, ...] | None = None) -> str:
+    """lora_unet_down_blocks_0_attentions_0_... -> down_blocks.0.attentions.0...
+
+    ``mods`` is the module-name vocabulary used to place the remaining
+    underscore→dot boundaries (longest match first, so e.g.
+    "time_emb_proj" wins over the shorter "proj"/"conv")."""
+    if name.startswith("lora_unet_"):
+        name = name[len("lora_unet_"):]
+    if mods is None:
+        mods = _UNET_MODS
     name = re.sub(r"_(\d+)(?=_|$)", r".\1", name)
-    # module boundaries before known leaf/module names; longest first so
-    # e.g. "time_emb_proj" is matched before the shorter "proj"/"conv"
-    mods = ("attentions", "resnets", "transformer_blocks", "attn1",
-            "attn2", "ff", "to_q", "to_k", "to_v", "to_out", "net",
-            "proj", "proj_in", "proj_out", "conv1", "conv2", "conv",
-            "time_emb_proj", "downsamplers", "upsamplers")
     pat = "|".join(sorted(mods, key=len, reverse=True))
     name = re.sub(rf"_({pat})(?=[._]|$)", r".\1", name)
     return name
 
 
-def _collect_pairs(state: dict[str, np.ndarray]) -> dict[str, dict]:
-    """Group lora tensors by target module path (diffusers dotted form)."""
-    pairs: dict[str, dict] = {}
+_UNET_MODS = ("attentions", "resnets", "transformer_blocks", "attn1",
+              "attn2", "ff", "to_q", "to_k", "to_v", "to_out", "net",
+              "proj", "proj_in", "proj_out", "conv1", "conv2", "conv",
+              "time_emb_proj", "downsamplers", "upsamplers")
+_TE_MODS = ("encoder", "layers", "self_attn", "q_proj", "k_proj",
+            "v_proj", "out_proj", "mlp", "fc1", "fc2")
+
+
+def _collect_pairs(state: dict[str, np.ndarray]) -> dict[str, dict[str, dict]]:
+    """Group lora tensors by namespace ("unet" / "te" / "te2") and target
+    module path (diffusers dotted form)."""
+    spaces: dict[str, dict[str, dict]] = {"unet": {}, "te": {}, "te2": {}}
+
+    def slot(space: str, dotted: str) -> dict:
+        return spaces[space].setdefault(dotted, {})
 
     for key, value in state.items():
-        if key.startswith("lora_te"):
-            continue
-        if key.startswith("lora_unet_"):
-            base, leaf = key.rsplit(".", 2)[0], key.split(".", 1)[1]
-            dotted = _kohya_to_dotted(base)
-            entry = pairs.setdefault(dotted, {})
+        if key.startswith("lora_unet_") or key.startswith("lora_te"):
+            base, leaf = key.split(".", 1)
+            if base.startswith("lora_unet_"):
+                space, dotted = "unet", _kohya_to_dotted(
+                    base[len("lora_unet_"):], _UNET_MODS)
+            else:
+                prefix = base.split("_", 2)[1]  # te / te1 / te2
+                space = "te2" if prefix == "te2" else "te"
+                rest = base[len("lora_") + len(prefix) + 1:]
+                dotted = _kohya_to_dotted(rest, _TE_MODS)
+            entry = slot(space, dotted)
             if leaf == "lora_up.weight":
                 entry["up"] = value
             elif leaf == "lora_down.weight":
@@ -58,13 +78,18 @@ def _collect_pairs(state: dict[str, np.ndarray]) -> dict[str, dict]:
                 entry["alpha"] = float(value)
         elif ".lora_A." in key or ".lora_B." in key:
             dotted = key
-            for prefix in ("unet.", "base_model.model."):
+            space = "unet"
+            for prefix, sp in (("unet.", "unet"),
+                               ("text_encoder_2.", "te2"),
+                               ("text_encoder.", "te"),
+                               ("base_model.model.", "unet")):
                 if dotted.startswith(prefix):
-                    dotted = dotted[len(prefix):]
+                    dotted, space = dotted[len(prefix):], sp
+                    break
             which = "down" if ".lora_A." in dotted else "up"
             dotted = re.sub(r"\.lora_[AB]\.(default\.)?weight$", "", dotted)
-            pairs.setdefault(dotted, {})[which] = value
-    return pairs
+            slot(space, dotted)[which] = value
+    return spaces
 
 
 def _delta(entry: dict, scale: float) -> np.ndarray | None:
@@ -83,21 +108,20 @@ def _delta(entry: dict, scale: float) -> np.ndarray | None:
     return w * (scale * alpha / rank)
 
 
-def merge_lora_state(params: Any, state: dict[str, np.ndarray],
-                     scale: float = 1.0) -> Any:
-    """Return a new UNet param tree with the LoRA deltas merged in."""
+def _merge_pairs(params: Any, pairs: dict[str, dict], rules, scale: float,
+                 label: str) -> Any:
+    """Return a new param tree with the LoRA deltas merged in."""
     import copy
 
     params = copy.deepcopy(
         {k: v for k, v in params.items()}) if isinstance(params, dict) else params
-    pairs = _collect_pairs(state)
     applied, skipped = 0, []
     for dotted, entry in pairs.items():
         delta = _delta(entry, scale)
         if delta is None:
             skipped.append(dotted)
             continue
-        flax_path = _rewrite(dotted + ".weight", _UNET_RULES)
+        flax_path = _rewrite(dotted + ".weight", rules)
         module = flax_path.rsplit(".", 1)[0]
         node = params
         parts = module.split(".")
@@ -117,17 +141,62 @@ def merge_lora_state(params: Any, state: dict[str, np.ndarray],
         node["kernel"] = (jnp.asarray(kernel)
                           + jnp.asarray(delta, kernel.dtype))
         applied += 1
-    print(f"[INFO] LoRA: merged {applied} modules"
+    print(f"[INFO] LoRA[{label}]: merged {applied} modules"
           + (f", skipped {len(skipped)}" if skipped else ""))
     if skipped[:3]:
-        print(f"[WARNING] LoRA skipped examples: {skipped[:3]}")
+        print(f"[WARNING] LoRA[{label}] skipped examples: {skipped[:3]}")
     return params
 
 
+def merge_lora_state(params: Any, state: dict[str, np.ndarray],
+                     scale: float = 1.0) -> Any:
+    """Return a new UNet param tree with the LoRA's UNet deltas merged in."""
+    pairs = _collect_pairs(state)
+    return _merge_pairs(params, pairs["unet"], _UNET_RULES, scale, "unet")
+
+
+def merge_lora_text_state(params: Any, state: dict[str, np.ndarray],
+                          scale: float = 1.0, encoder: int = 1) -> Any:
+    """Return a new CLIP param tree with the LoRA's text-encoder deltas
+    merged in (``encoder=2`` selects the SDXL lora_te2_/text_encoder_2
+    namespace)."""
+    pairs = _collect_pairs(state)
+    space = "te2" if encoder == 2 else "te"
+    return _merge_pairs(params, pairs[space], _TEXT_RULES, scale,
+                        f"text_encoder{'_2' if encoder == 2 else ''}")
+
+
+def apply_lora_bundle(bundle: Any, lora_cfg: dict) -> None:
+    """Merge a LoRA described by the config's ``generation.lora`` section
+    (``{path: file.safetensors, weight: 1.0}``; the reference passes HF-hub
+    args to ``pipe.load_lora_weights``, ours takes a local safetensors
+    path) into the bundle's UNet AND text-encoder params, in place."""
+    path = lora_cfg.get("path") or lora_cfg.get("weight_name")
+    if path is None:
+        print("[WARNING] use_lora set but no lora.path given — skipping")
+        return
+    scale = float(lora_cfg.get("weight", lora_cfg.get("adapter_weights", 1.0)))
+    state = load_safetensors(path)
+    pairs = _collect_pairs(state)
+    if pairs["unet"]:
+        bundle.unet_params = _merge_pairs(
+            bundle.unet_params, pairs["unet"], _UNET_RULES, scale, "unet")
+    if pairs["te"]:
+        bundle.text_params = _merge_pairs(
+            bundle.text_params, pairs["te"], _TEXT_RULES, scale,
+            "text_encoder")
+    if pairs["te2"]:
+        if bundle.text2_params is None:
+            print("[WARNING] LoRA has text_encoder_2 tensors but the model "
+                  "has a single text encoder — skipped")
+        else:
+            bundle.text2_params = _merge_pairs(
+                bundle.text2_params, pairs["te2"], _TEXT_RULES, scale,
+                "text_encoder_2")
+
+
 def apply_lora_config(unet_params: Any, lora_cfg: dict) -> Any:
-    """Merge a LoRA described by the config's ``generation.lora`` section:
-    ``{path: file.safetensors, weight: 1.0}`` (reference passes HF-hub args;
-    ours takes a local safetensors path)."""
+    """Back-compat UNet-only entry point (prefer apply_lora_bundle)."""
     path = lora_cfg.get("path") or lora_cfg.get("weight_name")
     if path is None:
         print("[WARNING] use_lora set but no lora.path given — skipping")

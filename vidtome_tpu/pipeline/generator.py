@@ -197,16 +197,19 @@ class Generator:
             self.pnp_conv_steps = int(
                 self.n_timesteps * float(gene.get("pnp_f_t", 0.8)))
 
+        if bool(gene.get("use_lora", False)):
+            # Merge before TextEncoder construction so the text-encoder
+            # components of the LoRA (reference: pipe.load_lora_weights,
+            # generate.py:93-94 applies TE LoRAs too) land in the encode jit.
+            from vidtome_tpu.models.lora import apply_lora_bundle
+
+            apply_lora_bundle(bundle, gene.get("lora", {}))
+
         self.text = TextEncoder(bundle)
         self.vae = VAECoder(bundle, batch_size=int(gene.get("batch_size", 4)))
 
         self.unet = bundle.make_unet(tome=self.tome, use_pallas=use_pallas)
         self.unet_params = bundle.unet_params
-        if bool(gene.get("use_lora", False)):
-            from vidtome_tpu.models.lora import apply_lora_config
-
-            self.unet_params = apply_lora_config(self.unet_params,
-                                                 gene.get("lora", {}))
         if self.use_controlnet:
             self.controlnet = bundle.make_controlnet(use_pallas=use_pallas)
 
