@@ -83,3 +83,38 @@ def test_merged_local_len_matches_actual():
                                         target_stride=stride)
         assert merged.shape[1] == cfg.merged_local_len(tnum), (
             F, ratio, stride, tnum)
+
+
+class TestPerStagePrecision:
+    """Reference invert.py:26: a stage may request a different
+    float_precision than the pipeline; weights are re-cast per stage."""
+
+    def test_cast_both_directions(self):
+        import jax.numpy as jnp
+
+        from tests.helpers import make_tiny_bundle
+        from vidtome_tpu.pipeline.common import resolve_precision
+
+        bundle = make_tiny_bundle(dtype=jnp.bfloat16)
+        leaf = lambda b: b.unet_params["conv_in"]["kernel"].dtype
+
+        prec = resolve_precision({"float_precision": "bf16"},
+                                 {"float_precision": "fp32"}, bundle)
+        assert prec == "fp32" and bundle.dtype == jnp.float32
+        assert leaf(bundle) == jnp.float32
+        assert bundle.vae_params["encoder"] is not None
+
+        prec = resolve_precision({"float_precision": "bf16"}, {}, bundle)
+        assert prec == "bf16" and bundle.dtype == jnp.bfloat16
+        assert leaf(bundle) == jnp.bfloat16
+
+    def test_stage_modules_follow_cast(self):
+        import jax.numpy as jnp
+
+        from tests.helpers import make_tiny_bundle
+        from vidtome_tpu.pipeline.common import resolve_precision
+
+        bundle = make_tiny_bundle(dtype=jnp.bfloat16)
+        resolve_precision({}, {"float_precision": "fp32"}, bundle)
+        unet = bundle.make_unet()
+        assert unet.dtype == jnp.float32

@@ -146,8 +146,12 @@ def get_frame_ids(frame_range, frame_ids=None) -> list[int]:
 
 def resolve_precision(config, stage_cfg, bundle=None) -> str:
     """Stage-level float_precision falls back to the global setting
-    (reference invert.py:26).  Warns when a stage requests a precision the
-    loaded weights don't use (weights are cast once at load time)."""
+    (reference invert.py:26 lets inversion run fp32 under an fp16
+    pipeline).  When a stage requests a precision the loaded weights don't
+    currently use, the bundle's UNet/VAE/ControlNet params are re-cast in
+    place (one jitted whole-tree cast) and ``bundle.dtype`` updated, so the
+    modules the stage constructs afterwards compute in the stage dtype.
+    Text-encoder params always stay fp32 (registry policy)."""
     prec = stage_cfg.get("float_precision",
                          config.get("float_precision", "bf16"))
     if prec == "fp16":
@@ -157,7 +161,15 @@ def resolve_precision(config, stage_cfg, bundle=None) -> str:
 
         want = jnp.bfloat16 if prec == "bf16" else jnp.float32
         if want != bundle.dtype:
-            print(f"[WARNING] stage requests float_precision={prec} but "
-                  f"weights are {jnp.dtype(bundle.dtype).name}; set the "
-                  "global float_precision before model load to change it")
+            from vidtome_tpu.models.registry import _cast
+
+            print(f"[INFO] stage float_precision={prec}: re-casting "
+                  f"weights {jnp.dtype(bundle.dtype).name} -> "
+                  f"{jnp.dtype(want).name} for this stage")
+            bundle.unet_params = _cast(bundle.unet_params, want)
+            bundle.vae_params = _cast(bundle.vae_params, want)
+            if bundle.controlnet_params is not None:
+                bundle.controlnet_params = _cast(bundle.controlnet_params,
+                                                 want)
+            bundle.dtype = want
     return prec
