@@ -419,8 +419,14 @@ def main():
     # The exact reference-parity bf16 mode is always reported alongside
     # as exact_fps / exact_vs_baseline.
     headline = serve_fps if serve_fps is not None else fps
+    # the metric NAME carries the profile so the serving number is never
+    # mistaken for exact-pipeline parity throughput; exact_fps always
+    # rides along for the apples-to-apples comparison
+    metric_name = ("serve_edit_frames_per_sec_512p_50step_1xv5e"
+                   if serve_fps is not None
+                   else "edit_frames_per_sec_512p_50step_1xv5e")
     result = {
-        "metric": "edit_frames_per_sec_512p_50step_1xv5e",
+        "metric": metric_name,
         "value": round(headline, 4),
         "unit": "frames/s",
         "vs_baseline": round(headline / A100_BASELINE_FPS, 4),
@@ -443,7 +449,12 @@ def main():
                                if serve_fps is not None else "exact"),
     }
     if pnp_fps is not None:
-        result["pnp_fps"] = round(pnp_fps, 4)
+        # the sidecar inherits --int8/--ldm, so suffix the mode into the
+        # key — pnp_fps from a default run and pnp_int8_fps from an
+        # --int8 run are different quantities and must not share a name
+        pnp_key = "pnp" + ("_int8" if args.int8 else "") + (
+            "_ldm" if args.ldm else "") + "_fps"
+        result[pnp_key] = round(pnp_fps, 4)
     if int8_fps is not None:
         result["int8_fps"] = round(int8_fps, 4)
         result["int8_vs_baseline"] = round(int8_fps / A100_BASELINE_FPS, 4)
@@ -451,7 +462,19 @@ def main():
         result["serve_fps"] = round(serve_fps, 4)
         result["serve_vs_baseline"] = round(serve_fps / A100_BASELINE_FPS,
                                             4)
-        result["serve_gate_db"] = 38.73  # DESIGN §9 serve_w42 proxy
+        # fidelity gate sourced from the measurement artifact written by
+        # tools/quality_gate.py — never a hardcoded literal
+        gate_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "gates", "serve_w42.json")
+        if os.path.exists(gate_path):
+            with open(gate_path) as f:
+                gate_rec = json.load(f)
+            result["serve_gate_db"] = gate_rec.get("psnr_mean_db")
+            result["serve_gate_source"] = "gates/serve_w42.json"
+        else:
+            print("[bench] no gates/serve_w42.json artifact — "
+                  "serve_gate_db omitted (run tools/quality_gate.py "
+                  "--gate serve_w42)", file=sys.stderr)
     print(f"[bench] {args.frames} frames x {args.steps} steps in "
           f"{elapsed:.2f}s (checksum {checksum:.2f})", file=sys.stderr)
     print(f"[bench] generation {gen_tflops:.0f} TFLOP/s = "

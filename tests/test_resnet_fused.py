@@ -146,7 +146,6 @@ class TestFusedResnet:
         dispatch modes, and the fused path applies the standard path's
         params to the same result (checkpoint compatibility)."""
         import flax
-        import os
 
         from vidtome_tpu.models.layers import ResnetBlock2D
 
@@ -154,13 +153,12 @@ class TestFusedResnet:
                               jnp.bfloat16)
         temb = jax.random.normal(jax.random.key(1), (2, 32), jnp.bfloat16)
 
-        monkeypatch.delenv("VIDTOME_RESNET_MODE", raising=False)
         block_std = ResnetBlock2D(64, dtype=jnp.bfloat16)
         params = block_std.init(jax.random.key(2), x, temb)["params"]
         y_std = block_std.apply({"params": params}, x, temb)
 
-        monkeypatch.setenv("VIDTOME_RESNET_MODE", "fused")
-        block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True)
+        block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True,
+                                resnet_mode="fused")
         params_f = block_f.init(jax.random.key(2), x, temb)["params"]
         assert (jax.tree.structure(flax.core.unfreeze(params))
                 == jax.tree.structure(flax.core.unfreeze(params_f)))
@@ -190,8 +188,8 @@ class TestFusedResnet:
         assert "kernel" not in res["conv1"]  # really stripped
         y_std = block.apply({"params": res, "qparams": qp}, x, temb)
 
-        monkeypatch.setenv("VIDTOME_RESNET_MODE", "fused")
-        block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True)
+        block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True,
+                                resnet_mode="fused")
         y_fused = block_f.apply({"params": res, "qparams": qp}, x, temb)
         a = np.asarray(y_std, np.float32)
         b = np.asarray(y_fused, np.float32)
@@ -207,8 +205,8 @@ class TestFusedResnet:
         block = ResnetBlock2D(64, dtype=jnp.bfloat16)
         params = block.init(jax.random.key(7), x, temb)["params"]
         y_std = block.apply({"params": params}, x, temb)
-        monkeypatch.setenv("VIDTOME_RESNET_MODE", "fused")
-        block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True)
+        block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True,
+                                resnet_mode="fused")
         y_fused = block_f.apply({"params": params}, x, temb)
         a = np.asarray(y_std, np.float32)
         b = np.asarray(y_fused, np.float32)

@@ -117,6 +117,115 @@ GATES = {
                        "cfg_schedule": "full:6,uniform:2"}),
 }
 
+# Inversion-side gates (VERDICT r3 item 3): exact-vs-fast INVERSION of the
+# same clip, judged JOINTLY — the fast inverted latents feed one exact
+# generation pass and the PSNR is taken between the two generations'
+# outputs (inversion feeds everything downstream, so its error must be
+# measured through the consumer).  Schedule specs run in inversion step
+# order: "full:K" refreshes the LOW-noise end; the _rev variants flip the
+# mask to refresh the high-noise end (see pipeline/inverter.py).
+INV_GATES = {
+    "inv_int8": ({}, {"quant": "int8"}),
+    "inv_cache2": ({}, {"cache_interval": 2}),
+    "inv_cache_w4": ({}, {"cache_schedule": "full:6,uniform:4"}),
+    "inv_cache_w4_rev": ({}, {"cache_schedule": "full:6,uniform:4",
+                              "cache_reverse": True}),
+    "inv_cache_w3": ({}, {"cache_schedule": "full:6,uniform:3"}),
+    "inv_int8_w3": ({}, {"quant": "int8",
+                         "cache_schedule": "full:6,uniform:3"}),
+}
+
+
+def make_inv_config(frames, steps, size, seed, **inv_overrides):
+    from vidtome_tpu.config import Config
+
+    inv = {
+        "prompt": "a synthetic gradient clip", "steps": steps,
+        "save_steps": steps, "batch_size": 8, "force": True,
+        "recon": False, "control": "none", "n_frames": frames,
+    }
+    inv.update(inv_overrides)
+    return Config({
+        "sd_version": "1.5", "height": size, "width": size, "seed": seed,
+        "work_dir": "/tmp/qgate_inv", "float_precision": "bf16",
+        "inversion": inv,
+    })
+
+
+def make_clip(n_frames, size, seed):
+    """Deterministic moving-gradient clip [n, size, size, 3] in [0, 1]
+    (same family as tests/helpers.make_tiny_video, phase-shifted by seed)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    frames = []
+    for i in range(n_frames):
+        phase = i / max(n_frames, 1) + 0.173 * seed
+        r = 0.5 + 0.5 * np.sin(2 * np.pi * (xx + phase))
+        g = 0.5 + 0.5 * np.cos(2 * np.pi * (yy + phase / 2))
+        b = np.full_like(r, 0.3) + 0.2 * (phase % 1.0)
+        frames.append(np.clip(np.stack([r, g, b], -1), 0, 1))
+    return np.stack(frames)
+
+
+def run_inv_gate(bundle, gate, args, gen_cache):
+    """One inversion gate: invert the clip exact vs fast, push BOTH
+    inverted latents through the SAME exact generation, PSNR the decoded
+    outputs."""
+    from vidtome_tpu.core import chunk as chunking
+    from vidtome_tpu.pipeline.generator import Generator
+    from vidtome_tpu.pipeline.inverter import Inverter
+
+    exact_over, fast_over = INV_GATES[gate]
+    vals = []
+    for seed in range(args.seeds):
+        clip = jnp.asarray(make_clip(args.frames, args.size, seed),
+                           jnp.float32)
+        inverted = []
+        for over in (exact_over, fast_over):
+            cfg = make_inv_config(args.frames, args.steps, args.size,
+                                  123 + seed, **over)
+            inv = Inverter(bundle, cfg)
+            latents = inv.vae.encode(clip)
+            conds = inv.text([str(inv.prompt)] * args.frames)
+            inverted.append(inv._run(latents, conds, None, None,
+                                     inversion=True))
+        if "gen" not in gen_cache:
+            cfg = make_config(args.frames, args.steps, args.size, 123)
+            gen = Generator(bundle, cfg)
+            gen.n_frames = args.frames
+            gen.n_padded, gen.pad_src = chunking.pad_to_chunks(
+                args.frames, 4)
+            gen.depth = None
+            gen.control_images = None
+            gen_cache["gen"] = gen
+            gen_cache["ctx"] = gen.text.embed_cfg("quality gate",
+                                                  "ugly, blurry")
+        gen, ctx = gen_cache["gen"], gen_cache["ctx"]
+        outs = []
+        for lat in inverted:
+            clean = gen.ddim_sample(jnp.copy(lat.astype(jnp.bfloat16)), ctx)
+            outs.append(np.asarray(
+                gen.vae.decode(clean[: args.frames]), np.float32))
+        vals.append(psnr(outs[0], outs[1]))
+        print(f"[gate:{gate}] seed {seed}: {vals[-1]:.2f} dB",
+              file=sys.stderr)
+    return vals
+
+
+def _write_gate_artifact(gate, rec, gates_dir=None):
+    """Persist a measurement artifact: bench.py sources its serve_gate_db
+    from gates/<gate>.json instead of a literal."""
+    import os
+
+    if gates_dir is None:
+        gates_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "gates")
+    os.makedirs(gates_dir, exist_ok=True)
+    rec = dict(rec)
+    rec["backend"] = jax.devices()[0].platform
+    rec["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(os.path.join(gates_dir, f"{gate}.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+
 
 def share_match_plan_overlap(bundle, frames, size, seed):
     """Fraction of identical (src_idx -> dst_idx) merge assignments
@@ -151,7 +260,8 @@ def share_match_plan_overlap(bundle, frames, size, seed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", default="all",
-                    choices=list(GATES) + ["all"])
+                    choices=list(GATES) + list(INV_GATES)
+                    + ["all", "inv_all"])
     ap.add_argument("--seeds", type=int, default=3)
     # default 32 frames: the fast-side configs then reuse the bench
     # executables from the compilation cache (same shapes), so only the
@@ -165,12 +275,33 @@ def main():
 
     bundle = init_model(sd_version="1.5", weight_dtype="bf16")
     latent = args.size // 8
-    gates = list(GATES) if args.gate == "all" else [args.gate]
+    if args.gate == "all":
+        gates = list(GATES)
+    elif args.gate == "inv_all":
+        gates = list(INV_GATES)
+    else:
+        gates = [args.gate]
 
+    inv_gen_cache: dict = {}
     for gate in gates:
+        t0 = time.time()
+        if gate in INV_GATES:
+            vals = run_inv_gate(bundle, gate, args, inv_gen_cache)
+            rec = {
+                "gate": gate,
+                "psnr_exact_vs_fast_db": [round(v, 2) for v in vals],
+                "psnr_mean_db": round(float(np.mean(vals)), 2),
+                "seeds": args.seeds, "frames": args.frames,
+                "steps": args.steps, "size": args.size,
+                "harness": "joint: exact-vs-fast inversion -> exact generation",
+                "weights": "random (zero-egress proxy)",
+                "elapsed_s": round(time.time() - t0, 1),
+            }
+            print(json.dumps(rec))
+            _write_gate_artifact(gate, rec)
+            continue
         exact_over, fast_over = GATES[gate]
         vals = []
-        t0 = time.time()
         for seed in range(args.seeds):
             init = jax.random.normal(
                 jax.random.key(1000 + seed),
@@ -211,6 +342,7 @@ def main():
                 share_match_plan_overlap(bundle, args.frames, args.size, s)
                 for s in range(args.seeds)])), 4)
         print(json.dumps(rec))
+        _write_gate_artifact(gate, rec)
 
 
 if __name__ == "__main__":

@@ -234,12 +234,6 @@ class _ConvParams(nn.Module):
         return k, b, None
 
 
-def _resnet_mode() -> str:
-    import os
-
-    return os.environ.get("VIDTOME_RESNET_MODE", "off")
-
-
 class ResnetBlock2D(nn.Module):
     """GN -> silu -> conv3x3 -> +temb -> GN -> silu -> conv3x3 (+shortcut).
 
@@ -247,7 +241,8 @@ class ResnetBlock2D(nn.Module):
     ``inject`` is true, lanes 1.. of the batch take lane 0's features after
     conv2, before the shortcut add.
 
-    VIDTOME_RESNET_MODE=fused routes eligible shapes through the fused
+    ``resnet_mode="fused"`` (config key ``generation.resnet_mode`` /
+    ``inversion.resnet_mode``) routes eligible shapes through the fused
     Pallas block kernel (ops/resnet.py, DESIGN §8.4): TPU backend, bf16,
     no PnP injection, fp32 conv accumulator within the VMEM budget.  The
     parameter tree is identical in both modes."""
@@ -255,9 +250,10 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     dtype: Any = jnp.bfloat16
     use_pallas: Optional[bool] = None
+    resnet_mode: str = "off"
 
     def _fused_ok(self, x, inject) -> bool:
-        if _resnet_mode() != "fused" or inject is not None:
+        if self.resnet_mode != "fused" or inject is not None:
             return False
         if self.dtype != jnp.bfloat16:
             return False

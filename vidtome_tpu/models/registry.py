@@ -116,9 +116,11 @@ class ModelBundle:
         return self.is_xl or self.is_refiner
 
     def make_unet(self, tome: Optional[ToMeConfig] = None,
-                  use_pallas: Optional[bool] = None) -> UNet2DConditionModel:
+                  use_pallas: Optional[bool] = None,
+                  resnet_mode: str = "off") -> UNet2DConditionModel:
         return UNet2DConditionModel(config=self.unet_config, tome=tome,
-                                    dtype=self.dtype, use_pallas=use_pallas)
+                                    dtype=self.dtype, use_pallas=use_pallas,
+                                    resnet_mode=resnet_mode)
 
     def make_vae(self) -> AutoencoderKL:
         chans, layers = self.vae_channels

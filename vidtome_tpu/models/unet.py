@@ -128,6 +128,9 @@ class UNet2DConditionModel(nn.Module):
     tome: Optional[ToMeConfig] = None
     dtype: Any = jnp.bfloat16
     use_pallas: Optional[bool] = None
+    # fused Pallas resnet-block dispatch ("off"/"fused") — config key
+    # generation.resnet_mode / inversion.resnet_mode
+    resnet_mode: str = "off"
 
     def _transformer(self, channels: int, level: int, name: str):
         heads, head_dim = self.config.heads_for(channels)
@@ -215,6 +218,7 @@ class UNet2DConditionModel(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(ch, dtype=self.dtype,
                                   use_pallas=self.use_pallas,
+                                  resnet_mode=self.resnet_mode,
                                   name=f"down_{i}_resnets_{j}")(h, temb)
                 if has_attn:
                     h = self._transformer(ch, i, f"down_{i}_attentions_{j}")(
@@ -231,11 +235,13 @@ class UNet2DConditionModel(nn.Module):
             mid_level = len(cfg.block_out_channels) - 1
             h = ResnetBlock2D(ch_mid, dtype=self.dtype,
                               use_pallas=self.use_pallas,
+                              resnet_mode=self.resnet_mode,
                               name="mid_resnets_0")(h, temb)
             h = self._transformer(ch_mid, mid_level, "mid_attentions_0")(
                 h, context, tome_call=tome_call, num_lanes=num_lanes)
             h = ResnetBlock2D(ch_mid, dtype=self.dtype,
                               use_pallas=self.use_pallas,
+                              resnet_mode=self.resnet_mode,
                               name="mid_resnets_1")(h, temb)
 
             # ---- ControlNet residuals --------------------------------------
@@ -269,6 +275,7 @@ class UNet2DConditionModel(nn.Module):
                 inj = conv_inject if (i == 1 and j == 1) else None
                 h = ResnetBlock2D(ch, dtype=self.dtype,
                                   use_pallas=self.use_pallas,
+                                  resnet_mode=self.resnet_mode,
                                   name=f"up_{i}_resnets_{j}")(
                     h, temb, inject=inj, num_lanes=num_lanes)
                 if has_attn:

@@ -177,22 +177,27 @@ def quantize_params(params, exclude: str | None = DEFAULT_EXCLUDE,
     ex = re.compile(exclude) if exclude else None
     inc = re.compile(include) if include else None
     to_quant: dict = {}
-    # Modules whose input activation is a sibling norm's output (the
+    # Modules whose input activation is a sibling GROUPNORM's output (the
     # architecture guarantees the pairing): resnet convs read
-    # silu(normN(x)), the transformer projection reads norm(x), the
-    # attention q/k/v and GEGLU up-projection read a LayerNorm output
-    # (merging only subsets/averages normed tokens, and the global bank
-    # stores normed tokens from the same norm — the bound holds).  Their
+    # silu(normN(x)), the transformer projection reads norm(x).  Their
     # int8 activation scale is computed statically from the norm affine
-    # (static_act_scale) instead of a measured per-call amax.  attn2's
-    # k/v read the TEXT context (not normed here) and stay dynamic.
+    # (static_act_scale) instead of a measured per-call amax — this is
+    # what avoids the ~30GB/s whole-slab reduce the conv path would
+    # otherwise need.
+    #
+    # LAYERNORM-fed matmuls (attn1/attn2 q/k/v, GEGLU proj_in) stay
+    # DYNAMIC per-row: LN normalizes over only C channels, so a single
+    # outlier channel can legally reach ~sqrt(C)*|gamma| (18-36 sigma at
+    # C=320-1280) — real SD checkpoints are known to have such outlier
+    # channels (the classic W8A8 failure mode), and the 6-sigma Gaussian
+    # bound would clip them hard.  Per-row amax over the feature axis
+    # fuses into the producer for matmul inputs (unlike the conv slab
+    # reduce), so the dynamic scale is cheap where it is needed.
+    # attn2's k/v read the TEXT context (not normed here): also dynamic.
     static_rules = {
         "conv1": ("norm1", (None,)),
         "conv2": ("norm2", (None,)),
         "proj_in": ("norm", (None,)),
-        "attn1": ("norm1", ("to_q", "to_k", "to_v")),
-        "attn2": ("norm2", ("to_q",)),
-        "ff": ("norm3", ("proj_in",)),
     }
     act_norms: dict[tuple, tuple] = {}
 

@@ -26,7 +26,7 @@ precision (fp32 GN, bf16 convs with fp32 accumulation) to ~1e-2 rel.
 Dispatch safety: `fused_resnet` is shape-generic over H, W (H*W must be
 a sublane multiple), Cin/Cout (padded to the 128-lane boundary
 internally); the wiring in models/layers.py gates it to the eligible
-level-0 shapes where it wins (VIDTOME_RESNET_MODE, DESIGN.md §8.4).
+level-0 shapes where it wins (config key generation.resnet_mode / inversion.resnet_mode, DESIGN.md §8.4).
 """
 
 from __future__ import annotations

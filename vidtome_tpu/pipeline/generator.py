@@ -208,7 +208,12 @@ class Generator:
         self.text = TextEncoder(bundle)
         self.vae = VAECoder(bundle, batch_size=int(gene.get("batch_size", 4)))
 
-        self.unet = bundle.make_unet(tome=self.tome, use_pallas=use_pallas)
+        # Fused Pallas resnet-block dispatch (ops/resnet.py, DESIGN §8.4):
+        # "off" (XLA path) or "fused"; a config dial like quant/cache_*.
+        self.resnet_mode = str(gene.get(
+            "resnet_mode", config.get("resnet_mode", "off")) or "off")
+        self.unet = bundle.make_unet(tome=self.tome, use_pallas=use_pallas,
+                                     resnet_mode=self.resnet_mode)
         self.unet_params = bundle.unet_params
         if self.use_controlnet:
             self.controlnet = bundle.make_controlnet(use_pallas=use_pallas)
@@ -597,11 +602,17 @@ class Generator:
             # serve32 27.2 dB vs its levers' 33+).
             misaligned = int((deep[start:] & ~cfgm[start:]).sum())
             if misaligned:
+                # Auto-align rather than warn-and-degrade (the analogous
+                # PnP+deepcache hazard fails fast; this one has a safe
+                # repair): force every deep-refresh step to also be a
+                # cfg-refresh step.  Strictly more computation than the
+                # requested cfg schedule — quality can only improve.
                 print(f"[WARNING] {misaligned} deep-cache refresh steps "
-                      "fall on CFG-skip steps: the uncond lane's deep "
-                      "cache will be stale there. Align the schedules "
-                      "(make every cache refresh a cfg refresh, e.g. "
-                      "deep uniform:4 + cfg uniform:2).")
+                      "fall on CFG-skip steps (stale uncond deep slice, "
+                      "measured below the fidelity gate — DESIGN §9 "
+                      "serve32). Auto-aligning: those steps now also "
+                      "refresh the CFG delta cache.")
+                cfgm = cfgm | deep
         return jnp.asarray(np.stack([deep, cfgm], axis=1), jnp.int32)
 
     def warmup(self, x, context):

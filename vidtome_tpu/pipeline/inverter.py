@@ -47,10 +47,19 @@ class Inverter:
         self.batch_size = int(inv.get("batch_size", 8))
         # Deep-feature step cache for the inversion loop (same UNet
         # full/shallow split as generation — DESIGN §9.1; inversion has
-        # one lane, so only the deep cache applies).  Opt-in: inversion
-        # feeds everything downstream, so gate before defaulting.
+        # one lane, so only the deep cache applies).
+        #
+        # DIRECTION NOTE: schedule specs are interpreted in INVERSION step
+        # order — inversion walks the noise schedule upward, so "full:K"
+        # front-loads refreshes at the LOW-noise end (the opposite end
+        # from generation, where front-loaded = structure-formation steps).
+        # The generation-side gate numbers therefore do NOT transfer;
+        # inversion schedules carry their own quality gates (inv_* rows in
+        # tools/quality_gate.py / DESIGN §9).  ``cache_reverse: true``
+        # flips the mask so "full:K" refreshes the HIGH-noise end instead.
         self.cache_interval = int(inv.get("cache_interval", 0) or 0)
         self.cache_schedule = inv.get("cache_schedule") or None
+        self.cache_reverse = bool(inv.get("cache_reverse", False))
         self.cache_on = bool(self.cache_interval or self.cache_schedule)
         self.n_frames = inv.get("n_frames", None)
         self.force = bool(inv.get("force", False))
@@ -81,7 +90,10 @@ class Inverter:
         self.text = TextEncoder(bundle)
         self.vae = VAECoder(bundle, batch_size=self.batch_size)
 
-        unet = bundle.make_unet(use_pallas=use_pallas)
+        self.resnet_mode = str(inv.get(
+            "resnet_mode", config.get("resnet_mode", "off")) or "off")
+        unet = bundle.make_unet(use_pallas=use_pallas,
+                                resnet_mode=self.resnet_mode)
         self._params = {"unet": bundle.unet_params}
         # Int8 (W8A8) serving for the inversion UNet (same mechanism as
         # the Generator; see ops/quant.py).
@@ -237,6 +249,8 @@ class Inverter:
             mask = refresh_mask(self.cache_schedule,
                                 self.cache_interval or 1,
                                 self.scheduler.num_steps)
+            if self.cache_reverse and inversion:
+                mask = mask[::-1]
             ch = self.bundle.unet_config.block_out_channels[1]
             deep = jnp.zeros(x.shape[:3] + (ch,), x.dtype)
         else:
