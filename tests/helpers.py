@@ -6,40 +6,9 @@ import numpy as np
 
 
 def make_tiny_bundle(dtype=None):
-    import jax
-    import jax.numpy as jnp
+    from vidtome_tpu.testing import make_tiny_bundle as _mk
 
-    from vidtome_tpu.models.clip_text import TINY_TEXT, CLIPTextModel
-    from vidtome_tpu.models.registry import ModelBundle
-    from vidtome_tpu.models.tokenizer import HashTokenizer
-    from vidtome_tpu.models.unet import TINY_UNET, UNet2DConditionModel
-    from vidtome_tpu.models.vae import AutoencoderKL
-
-    dtype = dtype or jnp.float32
-
-    from vidtome_tpu.models.registry import _jit_init
-
-    unet = UNet2DConditionModel(config=TINY_UNET, dtype=dtype)
-    x = jnp.zeros((1, 8, 8, 4), dtype)
-    ctx = jnp.zeros((1, 16, TINY_TEXT.hidden_size), dtype)
-    unet_params = _jit_init(unet, x, jnp.asarray(0), ctx, seed=0)
-
-    vae = AutoencoderKL(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
-                        dtype=dtype)
-    vae_params = _jit_init(vae, jnp.zeros((1, 64, 64, 3), dtype), seed=1)
-
-    text = CLIPTextModel(cfg=TINY_TEXT)
-    text_params = _jit_init(text, jnp.zeros((1, 16), jnp.int32), seed=2)
-
-    bundle = ModelBundle(
-        model_key="tiny-test-model", sd_version="1.5",
-        unet_config=TINY_UNET, text_config=TINY_TEXT,
-        unet_params=unet_params, vae_params=vae_params,
-        text_params=text_params,
-        tokenizer=HashTokenizer(vocab_size=1000, max_length=16),
-        dtype=dtype, random_weights=True,
-        vae_channels=((8, 8, 8, 8), 1))
-    return bundle
+    return _mk(dtype)
 
 
 def make_tiny_video(path: str, n_frames: int = 8, size: int = 64) -> str:

@@ -8,6 +8,8 @@ import os
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEMO_CLIP = os.path.join(REPO, "data", "demo.mp4")
 DEMO_CONFIG = os.path.join(REPO, "configs", "demo.yaml")

@@ -13,6 +13,8 @@ import pytest
 from tests.helpers import make_tiny_bundle, make_tiny_video
 from tests.test_pipeline_e2e import _base_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def video_dir(tmp_path_factory):

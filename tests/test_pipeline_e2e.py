@@ -10,6 +10,8 @@ import pytest
 from vidtome_tpu.config import Config
 from tests.helpers import make_tiny_bundle, make_tiny_video
 
+pytestmark = pytest.mark.slow
+
 
 def _base_config(tmp_path, video_dir, **gene_overrides):
     gene = {

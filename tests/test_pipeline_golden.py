@@ -47,6 +47,8 @@ from vidtome_tpu.models import convert  # noqa: E402
 
 import torch.nn.functional as TF  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 STEPS = 4
 GUIDANCE = 7.5
 N_FRAMES = 4

@@ -12,8 +12,9 @@ from tests.helpers import make_tiny_bundle, make_tiny_video
 from tests.test_pipeline_e2e import _base_config
 from vidtome_tpu.parallel.mesh import make_mesh, mesh_from_config
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices"),
+              pytest.mark.slow]
 
 
 def test_mesh_from_config():
@@ -137,3 +138,55 @@ def test_pipeline_pure_dp_generation(tmp_path):
     assert np.isfinite(meshed).all()
     diff = np.abs(meshed - single).mean()
     assert diff < 2e-3, f"pure-DP vs single mean |diff| {diff}"
+
+
+def test_pallas_flash_attention_under_gspmd_sharding():
+    """The production flash-attention Pallas kernel (interpret mode on
+    CPU), invoked inside plain jit with batch sharded over 'data' and
+    heads over 'model' — exactly how the UNet's attention sees sharded
+    operands under the mesh (GSPMD partitions the kernel call).  Must
+    match the unsharded oracle."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vidtome_tpu.ops.attention import (flash_attention,
+                                           reference_attention)
+
+    mesh = make_mesh(data=4, model=2)
+    B, H, S, D = 4, 2, 256, 64
+    q = jax.random.normal(jax.random.key(0), (B, H, S, D), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (B, H, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (B, H, S, D), jnp.float32)
+    ref = np.asarray(reference_attention(q, k, v))
+
+    sh = NamedSharding(mesh, P("data", "model"))
+    qs, ks, vs = (jax.device_put(a, sh) for a in (q, k, v))
+    f = jax.jit(lambda q, k, v: flash_attention(q, k, v, interpret=True))
+    with mesh:
+        out = np.asarray(f(qs, ks, vs))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_flash_attention_sharded_with_kv_mask():
+    """Same, with a KV valid-length mask (the merged-sequence path)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vidtome_tpu.ops.attention import (flash_attention,
+                                           reference_attention)
+
+    mesh = make_mesh(data=8, model=1)
+    B, H, S, D = 8, 2, 256, 64
+    n_valid = 200
+    q = jax.random.normal(jax.random.key(3), (B, H, S, D), jnp.float32)
+    k = jax.random.normal(jax.random.key(4), (B, H, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.key(5), (B, H, S, D), jnp.float32)
+    ref = np.asarray(reference_attention(q, k, v, kv_valid_len=n_valid))
+
+    sh = NamedSharding(mesh, P("data"))
+    qs, ks, vs = (jax.device_put(a, sh) for a in (q, k, v))
+    f = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, kv_valid_len=n_valid, interpret=True))
+    with mesh:
+        out = np.asarray(f(qs, ks, vs))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)

@@ -11,6 +11,8 @@ import pytest
 from tests.helpers import make_tiny_video
 from tests.test_pipeline_e2e import _base_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def xl_bundle():

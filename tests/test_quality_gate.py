@@ -13,6 +13,8 @@ import pytest
 
 from tests.helpers import make_tiny_bundle
 
+pytestmark = pytest.mark.slow
+
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

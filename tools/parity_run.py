@@ -1,0 +1,184 @@
+"""One-command real-weights parity harness (VERDICT r3 item 8).
+
+The BASELINE fidelity row ("PSNR >= 35 vs reference frames") is
+structurally unverifiable in this zero-egress environment — no real SD
+checkpoint, no reference output frames.  This script makes it a
+one-liner the day weights land:
+
+    python tools/parity_run.py --src /ckpts/stable-diffusion-v1-5 \
+        --work /tmp/parity [--clip /path/to/clip.mp4] \
+        [--ref-frames /path/to/reference_output_frames] \
+        [--frames 16 --steps 50 --size 512]
+
+Flow: convert the diffusers checkpoint -> native orbax bundle ->
+DDIM-invert the clip with reconstruction -> report inversion recon PSNR
+-> run a demo edit -> if --ref-frames is given, score our edit against
+the reference implementation's frames (PSNR/SSIM/temporal consistency,
+vidtome_tpu.eval) -> write everything to <work>/parity.json.
+
+The same `run_parity` entry point is CI-exercised on the tiny
+real-key-layout checkpoint (tests/test_parity_run.py), so the harness is
+known-good before it ever sees real weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ensure_clip(path: str | None, work: str, n_frames: int,
+                 size: int) -> str:
+    """Return a clip path, synthesizing the demo gradient clip if the
+    user gave none (tools/make_demo_clip.py family)."""
+    if path:
+        return path
+    import numpy as np
+
+    from vidtome_tpu.io.video import save_frames
+
+    clip_dir = os.path.join(work, "input_frames")
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    frames = []
+    for i in range(n_frames):
+        phase = i / max(n_frames, 1)
+        r = 0.5 + 0.5 * np.sin(2 * np.pi * (xx + phase))
+        g = 0.5 + 0.5 * np.cos(2 * np.pi * (yy + phase / 2))
+        b = np.full_like(r, 0.3) + 0.2 * phase
+        frames.append(np.clip(np.stack([r, g, b], -1), 0, 1))
+    save_frames(np.stack(frames), clip_dir)
+    return clip_dir
+
+
+def run_parity(bundle, work: str, clip: str, *, frames: int = 16,
+               steps: int = 50, size: int = 512,
+               edit_prompt: str = "a watercolor painting",
+               inv_prompt: str = "a video clip",
+               ref_frames: str | None = None) -> dict:
+    """Invert-with-recon + demo edit on ``bundle``; returns (and writes)
+    the parity record.  ``bundle`` comes from init_model(model_key=...)
+    for real checkpoints, or any ModelBundle in tests."""
+    import numpy as np
+
+    from vidtome_tpu.config import Config
+    from vidtome_tpu.eval import psnr, temporal_consistency
+    from vidtome_tpu.io.video import load_video
+    from vidtome_tpu.pipeline.generator import Generator
+    from vidtome_tpu.pipeline.inverter import Inverter
+
+    os.makedirs(work, exist_ok=True)
+    latents = os.path.join(work, "latents")
+    out_dir = os.path.join(work, "out")
+    cfg = Config({
+        "sd_version": bundle.sd_version, "input_path": clip,
+        "work_dir": work, "height": size, "width": size, "seed": 123,
+        "float_precision": "bf16",
+        "inversion": {
+            "save_path": latents, "prompt": inv_prompt, "steps": steps,
+            "save_steps": steps, "save_intermediate": True,
+            "batch_size": min(8, frames), "n_frames": frames,
+            "force": True, "recon": True, "control": "none",
+        },
+        "generation": {
+            "control": "pnp", "guidance_scale": 7.5, "n_timesteps": steps,
+            "negative_prompt": "ugly, blurry, low res",
+            "prompt": {"edit": edit_prompt},
+            "latents_path": latents, "output_path": out_dir,
+            "chunk_size": 4, "chunk_ord": "mix-4",
+            "local_merge_ratio": 0.9, "merge_global": True,
+            "global_merge_ratio": 0.8, "global_rand": 0.5,
+            "align_batch": False, "save_frame": True,
+        },
+    })
+
+    record: dict = {"work_dir": work, "clip": clip, "frames": frames,
+                    "steps": steps, "size": size,
+                    "random_weights": bool(bundle.random_weights)}
+
+    # ---- stage 1: inversion + reconstruction fidelity -------------------
+    inverter = Inverter(bundle, cfg)
+    inverter(clip, latents)
+    from vidtome_tpu.io.artifacts import get_latents_dir
+
+    recon_dir = os.path.join(get_latents_dir(latents, bundle.model_key),
+                             "recon_frames")
+    inp = load_video(clip, size, size)[:frames]
+    rec = load_video(recon_dir, size, size)[:frames]
+    recon_db = psnr(np.asarray(inp), np.asarray(rec))
+    record["inversion_recon_psnr_db"] = round(float(recon_db), 2)
+    print(f"[parity] inversion recon PSNR: {recon_db:.2f} dB")
+
+    # ---- stage 2: demo edit ---------------------------------------------
+    generator = Generator(bundle, cfg)
+    outputs = generator(clip, latents, out_dir,
+                        frame_ids=list(range(frames)))
+    edited = np.asarray(outputs["edit"])
+    record["edit_prompt"] = edit_prompt
+    record["edit_frames"] = int(edited.shape[0])
+    # Generator saves each prompt under output_path/<edit_name>
+    # (output.mp4 + per-frame pngs under frames/ with save_frame: true)
+    record["edit_output_dir"] = os.path.join(out_dir, "edit", "frames")
+    record["edit_temporal_consistency"] = round(
+        float(temporal_consistency(edited)), 4)
+
+    # ---- stage 3 (optional): score against reference frames -------------
+    if ref_frames:
+        from vidtome_tpu.eval import compare
+
+        record["vs_reference"] = compare(record["edit_output_dir"],
+                                         ref_frames, height=size,
+                                         width=size)
+        record["baseline_gate_35db"] = (
+            record["vs_reference"]["psnr_mean"] >= 35.0)
+
+    with open(os.path.join(work, "parity.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"[parity] record written to {os.path.join(work, 'parity.json')}")
+    return record
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", required=True,
+                    help="diffusers-layout checkpoint dir")
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--clip", default=None,
+                    help="input video/frame-dir; synthesized if omitted")
+    ap.add_argument("--ref-frames", default=None,
+                    help="reference implementation's output frames: "
+                         "fills the BASELINE PSNR>=35 row")
+    ap.add_argument("--sd-version", default="1.5")
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--edit-prompt", default="a watercolor painting")
+    ap.add_argument("--inv-prompt", default="a video clip")
+    ap.add_argument("--skip-bundle", action="store_true",
+                    help="don't save the native orbax bundle")
+    args = ap.parse_args()
+
+    from vidtome_tpu.models.checkpoint import save_bundle
+    from vidtome_tpu.models.registry import init_model
+
+    bundle = init_model(sd_version=args.sd_version, model_key=args.src,
+                        weight_dtype="bf16", allow_random_weights=False)
+    if not args.skip_bundle:
+        native = os.path.join(args.work, "native_bundle")
+        save_bundle(bundle, native)
+        print(f"[parity] native orbax bundle written to {native}")
+
+    clip = _ensure_clip(args.clip, args.work, args.frames, args.size)
+    record = run_parity(bundle, args.work, clip, frames=args.frames,
+                        steps=args.steps, size=args.size,
+                        edit_prompt=args.edit_prompt,
+                        inv_prompt=args.inv_prompt,
+                        ref_frames=args.ref_frames)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

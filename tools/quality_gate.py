@@ -115,6 +115,15 @@ GATES = {
     "serve_w42": ({}, {"quant": "int8",
                        "cache_schedule": "full:6,uniform:4",
                        "cfg_schedule": "full:6,uniform:2"}),
+    # deeper frontier (serve_w42 measured 38.73 dB — 3.7 dB of margin
+    # above the 35 dB bar): deep uniform:6 + cfg uniform:3, and deep
+    # uniform:8 + cfg uniform:2 (deep refreshes ⊆ cfg refreshes in both)
+    "serve_w63": ({}, {"quant": "int8",
+                       "cache_schedule": "full:6,uniform:6",
+                       "cfg_schedule": "full:6,uniform:3"}),
+    "serve_w82": ({}, {"quant": "int8",
+                       "cache_schedule": "full:6,uniform:8",
+                       "cfg_schedule": "full:6,uniform:2"}),
 }
 
 # Inversion-side gates (VERDICT r3 item 3): exact-vs-fast INVERSION of the
