@@ -55,7 +55,8 @@ The exact reference-parity bf16 mode always rides along:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/1.8,
    "exact_fps": ..., "exact_vs_baseline": ..., "end_to_end_fps": ...,
    "inversion_fps": ..., "gen_tflops": ..., "gen_mfu": ...,
-   "int8_fps": ..., "serve_fps": ..., "serve_gate_db": 38.73}
+   "int8_fps": ..., "serve_fps": ...,
+   "serve_gate_db": <from gates/serve_w42.json, when measured>}
 (gen_tflops / gen_mfu describe the exact-mode sample loop, whose FLOP
 model is well-defined; cache modes change the executed graph per step.)
 """
@@ -215,8 +216,7 @@ def main():
     gen = Generator(bundle, cfg)
 
     # Inject synthetic prepared data (bench has no inversion cache).
-    gen.n_frames = args.frames
-    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.configure_frames(args.frames)
     gen.depth = None
     gen.control_images = None
     latents = jax.random.normal(
@@ -562,8 +562,7 @@ def bench_mesh(args):
         },
     })
     gen = Generator(bundle, cfg, mesh=mesh)
-    gen.n_frames = args.frames
-    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.configure_frames(args.frames)
     gen.depth = None
     gen.control_images = None
     x = pmesh.shard_batch(mesh, jax.random.normal(
@@ -623,8 +622,7 @@ def _measure_mode_fps(bundle, args, latents, context, label,
         "generation": gene,
     })
     gen = Generator(bundle, cfg)
-    gen.n_frames = args.frames
-    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.configure_frames(args.frames)
     gen.depth = None
     gen.control_images = None
     t0 = time.time()
@@ -674,8 +672,7 @@ def _measure_pnp_fps(bundle, args, latent):
         },
     })
     gen = Generator(bundle, cfg)
-    gen.n_frames = args.frames
-    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.configure_frames(args.frames)
     gen.depth = None
     gen.control_images = None
     x = jax.random.normal(jax.random.key(2),
@@ -785,8 +782,7 @@ def bench_sdxl(args):
 
     # Generation stage through the real chunk/bank/merge path.
     gen = Generator(bundle, cfg)
-    gen.n_frames = args.frames
-    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.configure_frames(args.frames)
     gen.depth = None
     gen.control_images = None
     context = gen._build_context("benchmark prompt")

@@ -44,8 +44,7 @@ def run_one(bundle, args, latents, context, **gene_overrides):
         "generation": gene,
     })
     gen = Generator(bundle, cfg)
-    gen.n_frames = args.frames
-    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(args.frames, 4)
+    gen.configure_frames(args.frames)
     gen.depth = None
     gen.control_images = None
     t0 = time.time()

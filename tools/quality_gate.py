@@ -124,7 +124,18 @@ GATES = {
     "serve_w82": ({}, {"quant": "int8",
                        "cache_schedule": "full:6,uniform:8",
                        "cfg_schedule": "full:6,uniform:2"}),
+    # chunk-boundary deviation (VERDICT r3 item 4): exact side = the
+    # reference's ragged-first-chunk semantics (no wraparound chunk,
+    # pads never scheduled — generate.py:172-203), fast side = our
+    # rotation redesign.  chunk_ragged_pad additionally runs at a frame
+    # count that needs padding, so it also measures the padded-duplicate
+    # participation deviation (ragged mode never schedules pad frames).
+    "chunk_ragged": ({"chunk_boundaries": "ragged"}, {}),
+    "chunk_ragged_pad": ({"chunk_boundaries": "ragged"}, {}),
 }
+
+# per-gate frame-count overrides (chunk_ragged_pad must need padding)
+GATE_FRAMES = {"chunk_ragged_pad": 30}
 
 # Inversion-side gates (VERDICT r3 item 3): exact-vs-fast INVERSION of the
 # same clip, judged JOINTLY — the fast inverted latents feed one exact
@@ -200,9 +211,7 @@ def run_inv_gate(bundle, gate, args, gen_cache):
         if "gen" not in gen_cache:
             cfg = make_config(args.frames, args.steps, args.size, 123)
             gen = Generator(bundle, cfg)
-            gen.n_frames = args.frames
-            gen.n_padded, gen.pad_src = chunking.pad_to_chunks(
-                args.frames, 4)
+            gen.configure_frames(args.frames)
             gen.depth = None
             gen.control_images = None
             gen_cache["gen"] = gen
@@ -310,30 +319,28 @@ def main():
             _write_gate_artifact(gate, rec)
             continue
         exact_over, fast_over = GATES[gate]
+        n_frames = GATE_FRAMES.get(gate, args.frames)
         vals = []
         for seed in range(args.seeds):
             init = jax.random.normal(
                 jax.random.key(1000 + seed),
-                (args.frames, latent, latent, 4), jnp.bfloat16)
+                (n_frames, latent, latent, 4), jnp.bfloat16)
             ctx = None
             outs = []
             for over in (exact_over, fast_over):
-                cfg = make_config(args.frames, args.steps, args.size,
+                cfg = make_config(n_frames, args.steps, args.size,
                                   123 + seed, **over)
                 from vidtome_tpu.pipeline.generator import Generator  # noqa
-                from vidtome_tpu.core import chunk as chunking
 
                 gen = Generator(bundle, cfg)
-                gen.n_frames = args.frames
-                gen.n_padded, gen.pad_src = chunking.pad_to_chunks(
-                    args.frames, 4)
+                gen.configure_frames(n_frames)
                 gen.depth = None
                 gen.control_images = None
                 if ctx is None:
                     ctx = gen.text.embed_cfg("quality gate", "ugly, blurry")
-                clean = gen.ddim_sample(jnp.copy(init), ctx)
+                clean = gen.ddim_sample(jnp.copy(init[gen.pad_src]), ctx)
                 outs.append(np.asarray(
-                    gen.vae.decode(clean[: args.frames]), np.float32))
+                    gen.vae.decode(clean[: n_frames]), np.float32))
             vals.append(psnr(outs[0], outs[1]))
             print(f"[gate:{gate}] seed {seed}: {vals[-1]:.2f} dB",
                   file=sys.stderr)
@@ -341,7 +348,7 @@ def main():
             "gate": gate,
             "psnr_exact_vs_fast_db": [round(v, 2) for v in vals],
             "psnr_mean_db": round(float(np.mean(vals)), 2),
-            "seeds": args.seeds, "frames": args.frames,
+            "seeds": args.seeds, "frames": n_frames,
             "steps": args.steps, "size": args.size,
             "weights": "random (zero-egress proxy)",
             "elapsed_s": round(time.time() - t0, 1),

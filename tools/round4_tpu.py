@@ -83,6 +83,7 @@ def main():
         for gate in ("serve_w42", "serve_w63", "serve_w82",
                      "inv_int8", "inv_cache_w3", "inv_cache_w4",
                      "inv_cache_w4_rev", "inv_int8_w3",
+                     "chunk_ragged", "chunk_ragged_pad",
                      "cfgcache_w2", "deepw4_cfgw2", "deepcache_w5"):
             results[f"gate:{gate}"] = run_tool(
                 "quality_gate.py", ["--gate", gate] + g)

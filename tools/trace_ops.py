@@ -115,8 +115,7 @@ def main():
         },
     })
     gen = Generator(bundle, cfg)
-    gen.n_frames = frames
-    gen.n_padded, gen.pad_src = chunking.pad_to_chunks(frames, 4)
+    gen.configure_frames(frames)
     gen.depth = None
     gen.control_images = None
     latents = jax.random.normal(
@@ -130,13 +129,9 @@ def main():
     import numpy as np
 
     rng = np.random.default_rng(0)
-    fidx_steps = []
-    for _ in range(steps):
-        sch = chunking.chunk_schedule(gen.n_padded, 4, rng, chunk_ord="mix",
-                                      perm_div=4.0, merge_global=True)
-        fidx_steps.append(np.stack([sch.chunk_frames(p)
-                                    for p in range(sch.n_chunks)]))
-    fidx_table = jnp.asarray(np.stack(fidx_steps), jnp.int32)
+    fidx_table = jnp.asarray(chunking.build_fidx_table(
+        gen.n_padded, 4, rng, steps, chunk_ord="mix", perm_div=4.0,
+        merge_global=True), jnp.int32)
     zero = jnp.zeros((), jnp.bfloat16)
     gs = jnp.asarray(7.5, jnp.float32)
     block = gen._block_size()

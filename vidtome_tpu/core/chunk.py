@@ -96,6 +96,108 @@ def chunk_schedule(
                          chunk_size=chunk_size)
 
 
+def _chunk_perm(n_chunks: int, chunk_ord: str, perm_div: float,
+                merge_global: bool, rng: np.random.Generator) -> np.ndarray:
+    if not merge_global or chunk_ord == "seq" or n_chunks == 1:
+        return np.arange(n_chunks)
+    if chunk_ord == "rand":
+        return rng.permutation(n_chunks)
+    if chunk_ord == "mix":
+        return _mix_order(n_chunks, perm_div, rng)
+    raise ValueError(f"unknown chunk_ord: {chunk_ord}")
+
+
+def fidx_pair(fidx: np.ndarray) -> np.ndarray:
+    """[..., cs] frame indices -> [..., cs, 2] (gather, scatter) pairs
+    with gather == scatter (the rotate-mode layout)."""
+    return np.stack([fidx, fidx], axis=-1)
+
+
+def ragged_fidx(
+    n_frames: int,
+    chunk_size: int,
+    rng: np.random.Generator,
+    chunk_ord: str = "mix",
+    perm_div: float = 3.0,
+    merge_global: bool = True,
+    waste_slot: int | None = None,
+) -> np.ndarray:
+    """Reference-faithful ragged chunk boundaries under static shapes.
+
+    The reference randomizes the FIRST chunk's length per timestep and
+    never wraps around the video end (`generate.py:172-203`); the flip
+    reverses the chunk LIST (frames stay forward within chunks).  Static-
+    shape encoding: every chunk is ``chunk_size`` slots; a chunk with
+    L < chunk_size real frames repeats its last frame into the unused
+    slots on the GATHER side (duplicated identical tokens are attention-
+    invariant and merge losslessly) and routes those slots' writes to
+    ``waste_slot`` on the SCATTER side, so no real frame's eps is ever
+    clobbered by a duplicate and padded frames never participate in
+    merging or the global bank.
+
+    Returns [K, chunk_size, 2] int32 (gather, scatter) in processing
+    order, K = 1 + ceil((n_frames - 1) / chunk_size).  The first-chunk
+    length r is drawn uniformly from [1, chunk_size] conditioned on the
+    layout producing exactly K chunks (values collapsing a chunk are
+    resampled — the one distributional deviation from the reference,
+    needed for a single compiled executable).
+    """
+    cs = chunk_size
+    if waste_slot is None:
+        waste_slot = n_frames
+    K = 1 + int(np.ceil(max(n_frames - 1, 1) / cs))
+    while True:
+        r = int(rng.integers(0, cs)) + 1
+        k_r = 1 + (0 if n_frames <= r else int(np.ceil((n_frames - r) / cs)))
+        if k_r == K:
+            break
+    idx = np.arange(n_frames)
+    chunks = [idx[:r]] + [idx[i: i + cs] for i in range(r, n_frames, cs)]
+    if rng.random() > 0.5:
+        chunks = chunks[::-1]
+    perm = _chunk_perm(len(chunks), chunk_ord, perm_div, merge_global, rng)
+    chunks = [chunks[int(i)] for i in perm]
+
+    out = np.empty((K, cs, 2), np.int64)
+    for c, f in enumerate(chunks):
+        pad = cs - len(f)
+        out[c, :, 0] = np.concatenate([f, np.full(pad, f[-1])])
+        out[c, :, 1] = np.concatenate([f, np.full(pad, waste_slot)])
+    return out
+
+
+def build_fidx_table(
+    n_padded: int,
+    chunk_size: int,
+    rng: np.random.Generator,
+    steps: int,
+    chunk_ord: str = "mix",
+    perm_div: float = 3.0,
+    merge_global: bool = True,
+    ragged: bool = False,
+    n_frames: int | None = None,
+) -> np.ndarray:
+    """Per-timestep chunk schedules: [steps, K, chunk_size, 2] int32
+    (gather, scatter) — rotate mode (default) or reference-faithful
+    ragged mode (``ragged=True``; schedules only the ``n_frames`` real
+    frames, writes duplicate-slot outputs to the first pad slot)."""
+    tables = []
+    for _ in range(steps):
+        if ragged:
+            assert n_frames is not None
+            tables.append(ragged_fidx(
+                n_frames, chunk_size, rng, chunk_ord=chunk_ord,
+                perm_div=perm_div, merge_global=merge_global,
+                waste_slot=n_frames))
+        else:
+            sch = chunk_schedule(n_padded, chunk_size, rng,
+                                 chunk_ord=chunk_ord, perm_div=perm_div,
+                                 merge_global=merge_global)
+            tables.append(fidx_pair(np.stack([
+                sch.chunk_frames(pos) for pos in range(sch.n_chunks)])))
+    return np.stack(tables).astype(np.int32)
+
+
 def parse_chunk_ord(chunk_ord: str) -> tuple[str, float]:
     """'mix-4' -> ('mix', 4.0); 'seq'/'rand' pass through
     (reference generate.py:86-89)."""

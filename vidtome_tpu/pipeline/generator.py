@@ -124,6 +124,19 @@ class Generator:
         self.chunk_ord, self.perm_div = chunking.parse_chunk_ord(
             str(gene.get("chunk_ord", "mix-4")))
         self.merge_global = bool(gene.get("merge_global", False))
+        # Chunk-boundary semantics (DESIGN §9 gated deviation):
+        #   "rotate" (default) — static full chunks, boundaries cyclically
+        #     rotated per step (core/chunk.chunk_schedule);
+        #   "ragged" — reference-faithful random-length first chunk per
+        #     step, no wraparound, padded frames never scheduled
+        #     (core/chunk.ragged_fidx; the exact side of the gate).
+        self.chunk_boundaries = str(
+            gene.get("chunk_boundaries", "rotate")).lower()
+        if self.chunk_boundaries not in ("rotate", "ragged"):
+            raise ValueError(
+                f"chunk_boundaries must be rotate|ragged, got "
+                f"{self.chunk_boundaries!r}")
+        self.ragged = self.chunk_boundaries == "ragged"
 
         self.tome = ToMeConfig(
             frames=self.chunk_size,
@@ -354,13 +367,18 @@ class Generator:
             xl_kwargs = {}
             if is_xl:
                 context, pooled, time_ids = context
-            n_chunks = eps_buf.shape[0] // fidx.shape[0]
+            # fidx: [chunk, 2] (gather, scatter).  Gather reads use column
+            # 0; scatter writes use column 1.  Rotate mode keeps them
+            # identical; ragged mode routes duplicate-slot writes to the
+            # waste slot so no real frame's outputs are clobbered.
+            fidx_g, fidx_s = fidx[:, 0], fidx[:, 1]
             t = t_table[step_i]
-            key = jax.random.fold_in(base_key,
-                                     step_i * n_chunks + chunk_pos)
+            # nested fold_in: unique per (step, chunk) for ANY chunk count
+            key = jax.random.fold_in(jax.random.fold_in(base_key, step_i),
+                                     chunk_pos)
             attn_flag = step_i < pnp_attn_steps
             conv_flag = step_i < pnp_conv_steps
-            x_chunk = x_full[fidx]
+            x_chunk = x_full[fidx_g]
             F = x_chunk.shape[0]
             if cfg_skip:
                 # run only [source,] cond — the uncond row (index
@@ -372,7 +390,7 @@ class Generator:
             lanes_eff = len(lane_rows)
             lanes = [x_chunk] if cfg_skip else [x_chunk, x_chunk]
             if use_pnp:
-                lanes = [source_full[fidx].astype(x_chunk.dtype)] + lanes
+                lanes = [source_full[fidx_g].astype(x_chunk.dtype)] + lanes
             x_in = lane_constraint(jnp.concatenate(lanes))
             rows = jnp.asarray(lane_rows, jnp.int32)
             ctx = jnp.repeat(context[rows], F, axis=0)
@@ -381,11 +399,11 @@ class Generator:
                     add_text_embeds=jnp.repeat(pooled[rows], F, axis=0),
                     add_time_ids=jnp.repeat(time_ids[rows], F, axis=0))
             if use_depth:
-                depth = jnp.tile(depth_full[fidx], (lanes_eff, 1, 1, 1))
+                depth = jnp.tile(depth_full[fidx_g], (lanes_eff, 1, 1, 1))
                 x_in = jnp.concatenate([x_in, depth.astype(x_in.dtype)], -1)
             kwargs = {}
             if use_controlnet:
-                cond = jnp.tile(control_full[fidx], (lanes_eff, 1, 1, 1))
+                cond = jnp.tile(control_full[fidx_g], (lanes_eff, 1, 1, 1))
                 down_r, mid_r = controlnet.apply(
                     {"params": cn_params}, x_in, t, ctx, cond,
                     conditioning_scale=control_scale)
@@ -394,7 +412,7 @@ class Generator:
                 # frame gather FIRST (4 of Fpad frames), lane gather on the
                 # small result — the reverse order would materialize the
                 # whole [lanes, Fpad, h, w, c] cache per chunk
-                dc = caches["deep"][:, fidx][rows]  # [Leff, F, h, w, c]
+                dc = caches["deep"][:, fidx_g][rows]  # [Leff, F, h, w, c]
                 kwargs.update(
                     cache_mode="shallow",
                     deep_cache=dc.reshape((lanes_eff * F,) + dc.shape[2:]))
@@ -431,7 +449,7 @@ class Generator:
                 deep = deep.reshape((lanes_eff, F) + deep.shape[1:])
                 deep_full = caches["deep"]
                 for li, lane in enumerate(lane_rows):
-                    deep_full = deep_full.at[lane, fidx].set(deep[li])
+                    deep_full = deep_full.at[lane, fidx_s].set(deep[li])
                 caches = dict(caches, deep=deep_full)
             eps_cond = eps_all[(lanes_eff - 1) * F:].astype(jnp.float32)
             if cfg_skip:
@@ -443,26 +461,26 @@ class Generator:
                 # slowly (measured: ucond-eps cache 23.3 dB proxy vs
                 # delta cache — DESIGN.md §9).
                 eps = eps_cond + (guidance_scale - 1.0) * caches["ucond"][
-                    fidx]
+                    fidx_g]
             else:
                 eps_uncond = eps_all[(lanes_eff - 2) * F:(lanes_eff - 1) * F
                                      ].astype(jnp.float32)
                 delta = eps_cond - eps_uncond
                 if cfg_on:
-                    caches = dict(caches, ucond=caches["ucond"].at[fidx]
+                    caches = dict(caches, ucond=caches["ucond"].at[fidx_s]
                                   .set(delta))
                 # CFG combine in fp32 — cast BEFORE the difference so the
                 # guidance-amplified delta keeps full precision (the
                 # reference's autocast leaves this in reduced precision).
                 eps = eps_uncond + guidance_scale * delta
-            eps_buf = eps_buf.at[fidx].set(eps.astype(eps_buf.dtype))
+            eps_buf = eps_buf.at[fidx_s].set(eps.astype(eps_buf.dtype))
             return eps_buf, banks_out, caches
 
         def step(params, x, step_i, fidx_all, context, source_full,
                  depth_full, control_full, guidance_scale, caches,
                  cache_mode="off", cfg_skip=False):
-            """Full timestep: fidx_all [n_chunks, chunk_size] lists each
-            chunk's frame indices in processing order."""
+            """Full timestep: fidx_all [n_chunks, chunk_size, 2] lists each
+            chunk's (gather, scatter) frame indices in processing order."""
             n_chunks = fidx_all.shape[0]
             eps = jnp.zeros_like(x)
 
@@ -500,7 +518,7 @@ class Generator:
                          guidance_scale, n_steps: int):
             """Run ``n_steps`` consecutive timesteps on device.
 
-            fidx_table: [num_steps, n_chunks, chunk_size] chunk schedules.
+            fidx_table: [num_steps, n_chunks, chunk_size, 2] chunk schedules.
             src_table: PnP source latents [num_steps, F, h, w, 4] (or a
             scalar placeholder when PnP is off).
             caches: serving-cache buffer dict from _cache_buffers (scalar
@@ -629,24 +647,36 @@ class Generator:
             src = zero
         gs = jnp.asarray(self.guidance_scale, jnp.float32)
         n_chunks = x.shape[0] // self.chunk_size
+        fidx = jnp.arange(x.shape[0], dtype=jnp.int32).reshape(
+            n_chunks, self.chunk_size)
         fidx_table = jnp.broadcast_to(
-            jnp.arange(x.shape[0], dtype=jnp.int32).reshape(
-                n_chunks, self.chunk_size),
-            (steps, n_chunks, self.chunk_size))
+            jnp.stack([fidx, fidx], axis=-1),
+            (steps, n_chunks, self.chunk_size, 2))
         out, _ = self._sample_block(
             self._params, jnp.copy(x), self._cache_buffers(x),
             jnp.asarray(0, jnp.int32), self._mode_masks(), fidx_table,
             context, src, depth, control, gs, n_steps=self._block_size())
         return float(jnp.sum(out))  # force completion
 
+    def configure_frames(self, n: int) -> None:
+        """Set n_frames / n_padded / pad_src for an n-frame clip (also the
+        entry point for benchmark/gate harnesses that skip prepare_data)."""
+        self.n_frames = n
+        self.n_padded, self.pad_src = chunking.pad_to_chunks(
+            n, self.chunk_size)
+        if self.ragged and self.n_padded == n:
+            # ragged mode needs at least one slot beyond the real frames
+            # as the duplicate-write sink (waste slot); keep the buffer a
+            # chunk multiple so mesh frame-axis shardings stay even
+            self.n_padded += self.chunk_size
+            self.pad_src = np.minimum(np.arange(self.n_padded), n - 1)
+
     def prepare_data(self, data_path, latents_dir, frame_ids):
         self.frames = load_video(data_path, self.height, self.width,
                                  frame_ids=frame_ids)
         self.frame_ids = frame_ids
         n = len(self.frames)
-        self.n_frames = n
-        self.n_padded, self.pad_src = chunking.pad_to_chunks(
-            n, self.chunk_size)
+        self.configure_frames(n)
 
         init = artifacts.load_latent(latents_dir,
                                      int(self.scheduler.timesteps[0]),
@@ -704,17 +734,13 @@ class Generator:
                    if self.control_images is not None else zero)
 
         # Pre-build every timestep's chunk schedule (host-side numpy is off
-        # the critical path this way) ...
-        fidx_steps = []
-        for _ in range(sch.num_steps):
-            schedule = chunking.chunk_schedule(
-                self.n_padded, self.chunk_size, rng,
-                chunk_ord=self.chunk_ord, perm_div=self.perm_div,
-                merge_global=self.merge_global)
-            fidx_steps.append(np.stack([
-                schedule.chunk_frames(pos)
-                for pos in range(schedule.n_chunks)]))
-        fidx_table = jnp.asarray(np.stack(fidx_steps), jnp.int32)
+        # the critical path this way): [steps, K, chunk, 2] gather/scatter
+        # pairs — rotate mode (default) or reference-faithful ragged mode.
+        fidx_table = jnp.asarray(chunking.build_fidx_table(
+            self.n_padded, self.chunk_size, rng, sch.num_steps,
+            chunk_ord=self.chunk_ord, perm_div=self.perm_div,
+            merge_global=self.merge_global, ragged=self.ragged,
+            n_frames=self.n_frames), jnp.int32)
 
         # ... and preload every PnP source latent to device once instead of
         # a synchronous disk read per step in the hot loop.
