@@ -69,3 +69,24 @@ def test_ensure_clip_synthesizes(parity, tmp_path):
     clip = parity._ensure_clip(None, str(tmp_path), 4, 32)
     assert os.path.isdir(clip)
     assert len(os.listdir(clip)) == 4
+
+
+def test_run_parity_profile_check(parity, tmp_path):
+    """The --check-int8 path: profile edit rerun + PSNR vs its own bf16
+    control-none baseline on the tiny checkpoint."""
+    from tests.test_convert_golden import (build_tiny_unet_state,
+                                           build_tiny_vae_state)
+    from vidtome_tpu.models import convert
+
+    bundle = make_tiny_bundle()
+    bundle.unet_params = convert.convert_unet(dict(build_tiny_unet_state()))
+    bundle.vae_params = convert.convert_vae(dict(build_tiny_vae_state()))
+    bundle.vae_channels = ((8, 8), 1)
+
+    clip = make_tiny_video(str(tmp_path / "clip"), n_frames=4, size=64)
+    record = parity.run_parity(
+        bundle, str(tmp_path / "work"), clip, frames=4, steps=4, size=64,
+        edit_prompt="an oil painting", inv_prompt="a colorful gradient",
+        check_profiles=("int8",))
+    assert np.isfinite(record["profile_int8_psnr_db"])
+    assert isinstance(record["profile_int8_gate_35db"], bool)

@@ -58,7 +58,8 @@ def run_parity(bundle, work: str, clip: str, *, frames: int = 16,
                steps: int = 50, size: int = 512,
                edit_prompt: str = "a watercolor painting",
                inv_prompt: str = "a video clip",
-               ref_frames: str | None = None) -> dict:
+               ref_frames: str | None = None,
+               check_profiles: tuple = ()) -> dict:
     """Invert-with-recon + demo edit on ``bundle``; returns (and writes)
     the parity record.  ``bundle`` comes from init_model(model_key=...)
     for real checkpoints, or any ModelBundle in tests."""
@@ -125,6 +126,38 @@ def run_parity(bundle, work: str, clip: str, *, frames: int = 16,
     record["edit_temporal_consistency"] = round(
         float(temporal_consistency(edited)), 4)
 
+    # ---- stage 2b (optional): serving-dial fidelity on REAL weights -----
+    # The DESIGN §9 proxies were gated on random weights, which cannot
+    # surface real-checkpoint activation outliers (the classic W8A8
+    # failure) or trained-UNet step-cache smoothness.  These checks rerun
+    # the SAME edit under each serving profile and report PSNR against
+    # the exact bf16 output — the direct real-weights validation of the
+    # quant/cache dials (ADVICE r3: validate before defaulting int8).
+    _PROFILES = {
+        "int8": {"quant": "int8"},
+        "serve_w42": {"quant": "int8",
+                      "cache_schedule": "full:6,uniform:4",
+                      "cfg_schedule": "full:6,uniform:2"},
+    }
+    if check_profiles:
+        # profiles run control: none (the deep cache fails fast under PnP
+        # by design — shallow steps would skip the up-block-1 injections),
+        # so they are scored against their own bf16 control-none baseline
+        def _edit(name, over):
+            pcfg = Config(dict(cfg, generation=dict(
+                cfg.generation, control="none", **over)))
+            pgen = Generator(bundle, pcfg)
+            pout = pgen(clip, latents, os.path.join(work, f"out_{name}"),
+                        frame_ids=list(range(frames)))
+            return np.asarray(pout["edit"])
+
+        base = _edit("exact_nopnp", {})
+        for name in check_profiles:
+            db = psnr(base, _edit(name, _PROFILES[name]))
+            record[f"profile_{name}_psnr_db"] = round(float(db), 2)
+            record[f"profile_{name}_gate_35db"] = bool(db >= 35.0)
+            print(f"[parity] profile {name}: {db:.2f} dB vs exact bf16")
+
     # ---- stage 3 (optional): score against reference frames -------------
     if ref_frames:
         from vidtome_tpu.eval import compare
@@ -159,6 +192,13 @@ def main():
     ap.add_argument("--inv-prompt", default="a video clip")
     ap.add_argument("--skip-bundle", action="store_true",
                     help="don't save the native orbax bundle")
+    ap.add_argument("--check-int8", action="store_true",
+                    help="also run the edit under int8 and report PSNR vs "
+                         "the exact bf16 output (real-weights validation "
+                         "of the W8A8 dial)")
+    ap.add_argument("--check-serve", action="store_true",
+                    help="same for the full serve_w42 profile "
+                         "(int8 + deep cache + CFG delta cache)")
     args = ap.parse_args()
 
     from vidtome_tpu.models.checkpoint import save_bundle
@@ -172,11 +212,14 @@ def main():
         print(f"[parity] native orbax bundle written to {native}")
 
     clip = _ensure_clip(args.clip, args.work, args.frames, args.size)
+    profiles = tuple(p for p, on in (("int8", args.check_int8),
+                                     ("serve_w42", args.check_serve)) if on)
     record = run_parity(bundle, args.work, clip, frames=args.frames,
                         steps=args.steps, size=args.size,
                         edit_prompt=args.edit_prompt,
                         inv_prompt=args.inv_prompt,
-                        ref_frames=args.ref_frames)
+                        ref_frames=args.ref_frames,
+                        check_profiles=profiles)
     print(json.dumps(record))
 
 

@@ -124,6 +124,16 @@ GATES = {
     "serve_w82": ({}, {"quant": "int8",
                        "cache_schedule": "full:6,uniform:8",
                        "cfg_schedule": "full:6,uniform:2"}),
+    # merge-ratio frontier: the reference's own dials pushed harder
+    # (local 0.9 -> 0.95 quadratically shrinks attention FLOPs; global
+    # 0.8 -> 0.9 shrinks the bank-matched merge length), alone and on
+    # top of the serve profile
+    "local95": ({}, {"local_merge_ratio": 0.95}),
+    "global9": ({}, {"global_merge_ratio": 0.9}),
+    "serve_w42_m95": ({}, {"quant": "int8",
+                           "cache_schedule": "full:6,uniform:4",
+                           "cfg_schedule": "full:6,uniform:2",
+                           "local_merge_ratio": 0.95}),
     # chunk-boundary deviation (VERDICT r3 item 4): exact side = the
     # reference's ragged-first-chunk semantics (no wraparound chunk,
     # pads never scheduled — generate.py:172-203), fast side = our

@@ -84,6 +84,7 @@ def main():
                      "inv_int8", "inv_cache_w3", "inv_cache_w4",
                      "inv_cache_w4_rev", "inv_int8_w3",
                      "chunk_ragged", "chunk_ragged_pad",
+                     "local95", "global9", "serve_w42_m95",
                      "cfgcache_w2", "deepw4_cfgw2", "deepcache_w5"):
             results[f"gate:{gate}"] = run_tool(
                 "quality_gate.py", ["--gate", gate] + g)
