@@ -93,6 +93,13 @@ def main():
                      "cfg_interval": 2}),
         ("w42", {"cache_schedule": "full:6,uniform:4",
                  "cfg_schedule": "full:6,uniform:2"}),
+        ("w63", {"cache_schedule": "full:6,uniform:6",
+                 "cfg_schedule": "full:6,uniform:3"}),
+        ("w82", {"cache_schedule": "full:6,uniform:8",
+                 "cfg_schedule": "full:6,uniform:2"}),
+        ("w42_m95", {"cache_schedule": "full:6,uniform:4",
+                     "cfg_schedule": "full:6,uniform:2",
+                     "local_merge_ratio": 0.95}),
     ]:
         c, ms = run_one(bundle, args, latents, context, **over)
         print(f"{label:14s} compile {c:6.1f}s   {ms:7.1f} ms/step",

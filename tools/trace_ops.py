@@ -94,6 +94,12 @@ def main():
                       if a.startswith("--cache=")), 0))
     cfg_iv = int(next((a.split("=")[1] for a in sys.argv
                        if a.startswith("--cfg=")), 0))
+    cache_sched = next((a.split("=", 1)[1] for a in sys.argv
+                        if a.startswith("--cache-schedule=")), None)
+    cfg_sched = next((a.split("=", 1)[1] for a in sys.argv
+                      if a.startswith("--cfg-schedule=")), None)
+    resnet_mode = next((a.split("=", 1)[1] for a in sys.argv
+                        if a.startswith("--resnet=")), "off")
     frames, steps, size = 32, 50, 512
     latent = size // 8
     bundle = init_model(sd_version="1.5", weight_dtype="bf16")
@@ -112,6 +118,8 @@ def main():
             "quant": "int8" if int8 else "none",
             "merge_crossattn": ldm, "merge_ff": ldm,
             "cache_interval": cache, "cfg_interval": cfg_iv,
+            "cache_schedule": cache_sched, "cfg_schedule": cfg_sched,
+            "resnet_mode": resnet_mode,
         },
     })
     gen = Generator(bundle, cfg)
