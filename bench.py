@@ -306,6 +306,44 @@ def main():
           f"{inv_elapsed:.2f}s ({args.frames / inv_elapsed:.2f} frames/s)",
           file=sys.stderr)
 
+    # Inversion serving sidecar (default runs): int8 + front-loaded deep
+    # cache on the inversion loop.  Reported as inv_serve_fps; it only
+    # joins the serve end-to-end number once gates/inv_int8_w3.json
+    # measures >= 35 dB (same artifact rule as serve_gate_db).
+    inv_serve_elapsed = None
+    if (not args.quick and not args.int8 and not args.pnp
+            and not args.cache and not args.ldm
+            and not args.no_share_match):
+        try:
+            inv_s_cfg = Config(inv_cfg.to_dict())
+            inv_s_cfg["inversion"] = dict(
+                inv_cfg["inversion"], quant="int8",
+                cache_schedule="full:6,uniform:3")
+            inv_s = Inverter(bundle, inv_s_cfg)
+            # warm BOTH cache-mode executables (full refresh + shallow)
+            ch = bundle.unet_config.block_out_channels[1]
+            warm, deep_w = inv_s._full_step(
+                inv_s._params, jnp.copy(lat0), inv_s._tables,
+                jnp.asarray(0, jnp.int32), True, conds, None, None,
+                jnp.zeros(lat0.shape[:3] + (ch,), lat0.dtype),
+                cache_mode="full")
+            warm2, _d = inv_s._full_step(
+                inv_s._params, jnp.copy(lat0), inv_s._tables,
+                jnp.asarray(1, jnp.int32), True, conds, None, None,
+                deep_w, cache_mode="shallow")
+            _ = float(jnp.sum(warm)) + float(jnp.sum(warm2))
+            t0 = time.time()
+            out_s = inv_s._run(lat0, conds, None, None, inversion=True)
+            _ = float(jnp.sum(out_s))
+            inv_serve_elapsed = time.time() - t0
+            print(f"[bench] inversion serve (int8+w3): {args.frames} x "
+                  f"{args.steps} in {inv_serve_elapsed:.2f}s "
+                  f"({args.frames / inv_serve_elapsed:.2f} frames/s)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] inversion serve sidecar failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
     # Timed run: full generation + decode, forced completion.
     t0 = time.time()
     clean = gen.ddim_sample(latents, context)
@@ -481,6 +519,21 @@ def main():
     if int8_fps is not None:
         result["int8_fps"] = round(int8_fps, 4)
         result["int8_vs_baseline"] = round(int8_fps / A100_BASELINE_FPS, 4)
+    if inv_serve_elapsed is not None:
+        result["inv_serve_fps"] = round(args.frames / inv_serve_elapsed, 4)
+        inv_gate = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "gates",
+            "inv_int8_w3.json")
+        if serve_fps is not None and os.path.exists(inv_gate):
+            with open(inv_gate) as f:
+                inv_rec = json.load(f)
+            if (inv_rec.get("psnr_mean_db") or 0) >= 35.0:
+                # serving end-to-end: gated inversion profile + gated
+                # generation serve profile, from measured wall times
+                e2e_serve = args.frames / (
+                    inv_serve_elapsed + args.frames / serve_fps)
+                result["serve_end_to_end_fps"] = round(e2e_serve, 4)
+                result["inv_serve_gate_db"] = inv_rec.get("psnr_mean_db")
     if serve_fps is not None:
         result["serve_profile"] = args.serve_profile
         result["serve_fps"] = round(serve_fps, 4)
