@@ -115,3 +115,40 @@ class TestRaggedPipeline:
         # scale (a gross scale mismatch would mean clobbered real frames)
         ra, ro = outs["ragged"], outs["rotate"]
         assert 0.25 < (np.abs(ra).mean() / (np.abs(ro).mean() + 1e-9)) < 4.0
+
+    @pytest.mark.slow
+    def test_ragged_with_serving_caches(self):
+        """ragged boundaries + deep-feature cache + CFG delta cache: the
+        cache reads use the gather column and writes the scatter column
+        (waste slot absorbs duplicates) — outputs must stay finite and
+        the waste slots must never leak into real frames."""
+        from tests.helpers import make_tiny_bundle
+        from vidtome_tpu.config import Config
+        from vidtome_tpu.pipeline.generator import Generator
+
+        bundle = make_tiny_bundle()
+        gene = {
+            "control": "none", "guidance_scale": 7.5,
+            "n_timesteps": 6, "negative_prompt": "bad",
+            "prompt": {"edit": "x"}, "latents_path": "/tmp/rgc",
+            "output_path": "/tmp/rgc", "chunk_size": 4,
+            "chunk_ord": "mix-4", "local_merge_ratio": 0.9,
+            "merge_global": True, "global_merge_ratio": 0.8,
+            "global_rand": 0.5, "align_batch": False,
+            "save_frame": False, "chunk_boundaries": "ragged",
+            "cache_schedule": "full:2,uniform:2",
+            "cfg_schedule": "full:2,uniform:2",
+        }
+        cfg = Config({"sd_version": "1.5", "height": 64, "width": 64,
+                      "seed": 5, "work_dir": "/tmp/rgc",
+                      "float_precision": "fp32", "generation": gene})
+        gen = Generator(bundle, cfg, use_pallas=False)
+        gen.configure_frames(8)
+        gen.depth = None
+        gen.control_images = None
+        init = jax.random.normal(jax.random.key(2), (8, 8, 8, 4),
+                                 jnp.float32)
+        clean = gen.ddim_sample(jnp.copy(init[gen.pad_src]),
+                                gen.text.embed_cfg("x", "bad"))
+        out = np.asarray(gen.vae.decode(clean[:8]), np.float32)
+        assert out.shape[0] == 8 and np.isfinite(out).all()

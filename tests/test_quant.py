@@ -253,3 +253,40 @@ def test_quantized_unet_close_to_fp32():
     assert out.shape == ref.shape
     # random-weight tiny net, full int8 stack: expect a few percent drift
     assert _rel_rmse(out, ref) < 0.08
+
+
+def test_controlnet_int8_residuals_close():
+    """ControlNet shares the UNet block classes, so quantize_params with
+    the controlnet exclusions (zero convs + hint encoder stay bf16) must
+    produce residuals close to the bf16 path."""
+    from vidtome_tpu.models.controlnet import ControlNetModel
+    from vidtome_tpu.models.unet import TINY_UNET
+
+    cn = ControlNetModel(config=TINY_UNET, dtype=jnp.bfloat16,
+                         use_pallas=False)
+    key = jax.random.key(31)
+    x = jax.random.normal(key, (2, 8, 8, 4), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 32),
+                            jnp.bfloat16)
+    cond = jax.random.normal(jax.random.fold_in(key, 2), (2, 64, 64, 3),
+                             jnp.bfloat16)
+    params = cn.init(jax.random.key(0), x, jnp.asarray(0), ctx,
+                     cond)["params"]
+    down_b, mid_b = cn.apply({"params": params}, x, jnp.asarray(0), ctx,
+                             cond, conditioning_scale=0.5)
+
+    res, qp = quant.quantize_params(
+        params, exclude=quant.DEFAULT_EXCLUDE + r"|zero_conv|cond_embedding")
+    # exclusions hold: zero convs + hint encoder keep bf16 kernels
+    assert "zero_convs_0" not in qp and "mid_zero_conv" not in qp
+    assert "cond_embedding" not in qp
+    assert "kernel" in res["zero_convs_0"]
+    assert quant.count_quantized(qp) > 4  # resnet/attention mass moved
+    down_q, mid_q = cn.apply({"params": res, "qparams": qp}, x,
+                             jnp.asarray(0), ctx, cond,
+                             conditioning_scale=0.5)
+    for b, q in list(zip(down_b, down_q)) + [(mid_b, mid_q)]:
+        b = np.asarray(b, np.float32)
+        q = np.asarray(q, np.float32)
+        scale = np.abs(b).max() + 1e-3
+        assert np.abs(b - q).max() / scale < 0.12

@@ -250,6 +250,20 @@ class Generator:
             self._params["unet_q"] = qp
             print(f"[INFO] int8 serving: quantized "
                   f"{quant_ops.count_quantized(qp)} UNet weight tensors")
+            if self.use_controlnet:
+                # the ControlNet shares the UNet block classes (QConv/
+                # QDense), so the same transform applies; its residual-
+                # producing zero convs and the image-space hint encoder
+                # stay bf16 (output-critical / un-normed inputs)
+                cn_res, cn_qp = quant_ops.quantize_params(
+                    self._params["controlnet"],
+                    exclude=quant_ops.DEFAULT_EXCLUDE
+                    + r"|zero_conv|cond_embedding")
+                self._params["controlnet"] = cn_res
+                self._params["controlnet_q"] = cn_qp
+                print(f"[INFO] int8 serving: quantized "
+                      f"{quant_ops.count_quantized(cn_qp)} ControlNet "
+                      "weight tensors")
         elif self.quant not in ("none", "false", "off"):
             raise ValueError(f"unknown quant mode {self.quant!r} "
                              "(choices: none, int8)")
@@ -404,8 +418,11 @@ class Generator:
             kwargs = {}
             if use_controlnet:
                 cond = jnp.tile(control_full[fidx_g], (lanes_eff, 1, 1, 1))
+                cn_vars = {"params": cn_params}
+                if "controlnet_q" in params:
+                    cn_vars["qparams"] = params["controlnet_q"]
                 down_r, mid_r = controlnet.apply(
-                    {"params": cn_params}, x_in, t, ctx, cond,
+                    cn_vars, x_in, t, ctx, cond,
                     conditioning_scale=control_scale)
                 kwargs = dict(down_residuals=down_r, mid_residual=mid_r)
             if cache_mode == "shallow":

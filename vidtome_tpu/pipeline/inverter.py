@@ -99,16 +99,23 @@ class Inverter:
         # the Generator; see ops/quant.py).
         self.quant = str(inv.get("quant", config.get("quant", "none"))
                          or "none").lower()
+        use_controlnet = self.control not in ("none", "pnp")
+        if use_controlnet:
+            controlnet = bundle.make_controlnet(use_pallas=use_pallas)
+            self._params["controlnet"] = bundle.controlnet_params
         if self.quant in ("int8", "w8a8"):
             from vidtome_tpu.ops import quant as quant_ops
 
             res, qp = quant_ops.quantize_params(self._params["unet"])
             self._params["unet"] = res
             self._params["unet_q"] = qp
-        use_controlnet = self.control not in ("none", "pnp")
-        if use_controlnet:
-            controlnet = bundle.make_controlnet(use_pallas=use_pallas)
-            self._params["controlnet"] = bundle.controlnet_params
+            if use_controlnet:
+                cn_res, cn_qp = quant_ops.quantize_params(
+                    self._params["controlnet"],
+                    exclude=quant_ops.DEFAULT_EXCLUDE
+                    + r"|zero_conv|cond_embedding")
+                self._params["controlnet"] = cn_res
+                self._params["controlnet_q"] = cn_qp
         if mesh is not None:
             from vidtome_tpu.parallel import mesh as pmesh
 
@@ -151,9 +158,12 @@ class Inverter:
             if bundle.use_depth:
                 x = jnp.concatenate([x, depth.astype(x.dtype)], axis=-1)
             if use_controlnet:
+                cn_vars = {"params": params["controlnet"]}
+                if "controlnet_q" in params:
+                    cn_vars["qparams"] = params["controlnet_q"]
                 down_r, mid_r = controlnet.apply(
-                    {"params": params["controlnet"]}, x, t, context,
-                    control_images, conditioning_scale=control_scale)
+                    cn_vars, x, t, context, control_images,
+                    conditioning_scale=control_scale)
                 kwargs.update(down_residuals=down_r, mid_residual=mid_r)
             variables = {"params": params["unet"]}
             if "unet_q" in params:
