@@ -268,3 +268,38 @@ class TestCFGCache:
         frames_i1 = _run_generation(bundle, tmp_path / "b", video_dir,
                                     cache_interval=1, cfg_interval=1)
         np.testing.assert_array_equal(frames_off, frames_i1)
+
+
+class TestScheduleAutoAlign:
+    def test_misaligned_schedules_auto_align(self, bundle, video_dir,
+                                             tmp_path):
+        """Deep refreshes landing on CFG-skip steps leave the uncond
+        lane's deep slice stale (serve32 measured 27 dB — below the
+        gate), so _mode_masks force-aligns: every deep-refresh step also
+        refreshes the CFG delta cache."""
+        import numpy as np
+
+        from vidtome_tpu.pipeline.generator import Generator
+
+        cfg = _gen_config(str(tmp_path), video_dir, n_timesteps=12,
+                          cache_interval=3, cfg_interval=2)
+        gen = Generator(bundle, cfg, use_pallas=False)
+        tab = np.asarray(gen._mode_masks())
+        deep, cfgm = tab[:, 0].astype(bool), tab[:, 1].astype(bool)
+        assert not (deep & ~cfgm).any()      # aligned after repair
+        assert deep.sum() == 4               # deep schedule untouched
+        assert cfgm.sum() > 6                # cfg gained the deep steps
+
+    def test_aligned_schedules_untouched(self, bundle, video_dir,
+                                         tmp_path):
+        import numpy as np
+
+        from vidtome_tpu.pipeline.generator import Generator
+
+        cfg = _gen_config(str(tmp_path), video_dir, n_timesteps=12,
+                          cache_interval=4, cfg_interval=2)
+        gen = Generator(bundle, cfg, use_pallas=False)
+        tab = np.asarray(gen._mode_masks())
+        deep, cfgm = tab[:, 0].astype(bool), tab[:, 1].astype(bool)
+        assert not (deep & ~cfgm).any()
+        assert cfgm.sum() == 6               # exactly the cfg-2 pattern
