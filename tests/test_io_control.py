@@ -323,3 +323,27 @@ class TestTextEncoderLoRA:
 
         after = np.asarray(TextEncoder(bundle)("a prompt"))
         assert not np.allclose(before, after)
+
+    def test_te2_kohya_namespace(self):
+        """SDXL second-encoder tensors (lora_te2_*) land in the te2
+        namespace and not in te/unet."""
+        import jax.numpy as jnp
+
+        from vidtome_tpu.models.lora import _collect_pairs, merge_lora_text_state
+
+        rng = np.random.default_rng(11)
+        up = rng.standard_normal((16, 2)).astype(np.float32)
+        down = rng.standard_normal((2, 16)).astype(np.float32)
+        state = {
+            "lora_te2_text_model_encoder_layers_0_self_attn_k_proj.lora_up.weight": up,
+            "lora_te2_text_model_encoder_layers_0_self_attn_k_proj.lora_down.weight": down,
+        }
+        pairs = _collect_pairs(state)
+        assert not pairs["unet"] and not pairs["te"]
+        assert "text_model.encoder.layers.0.self_attn.k_proj" in pairs["te2"]
+
+        params = {"layers_0": {"self_attn": {"k_proj": {
+            "kernel": jnp.zeros((16, 16), jnp.float32)}}}}
+        merged = merge_lora_text_state(params, state, scale=1.0, encoder=2)
+        got = np.asarray(merged["layers_0"]["self_attn"]["k_proj"]["kernel"])
+        np.testing.assert_allclose(got, (up @ down).T, rtol=1e-5, atol=1e-5)
