@@ -67,6 +67,21 @@ def test_inv_gate_cache_lever_changes_output(qgate, tmp_path, monkeypatch):
     assert 0 < vals[0] < 99.0  # finite: the lever changed the output
 
 
+def test_gen_gate_harness_tiny(qgate, monkeypatch):
+    """run_gen_gate on the tiny bundle: an identity gate must report the
+    99 dB sentinel (both sides reuse one Generator config), and a real
+    lever must report a finite PSNR."""
+    bundle = make_tiny_bundle()
+    args = types.SimpleNamespace(seeds=1, frames=4, steps=2, size=64)
+    monkeypatch.setitem(qgate.GATES, "__identity__", ({}, {}))
+    n_frames, vals = qgate.run_gen_gate(bundle, "__identity__", args)
+    assert n_frames == 4
+    assert vals == [99.0]
+    n_frames, vals = qgate.run_gen_gate(bundle, "int8", args)
+    assert len(vals) == 1
+    assert 0 < vals[0] < 99.0
+
+
 def test_gate_artifact_written(qgate, tmp_path):
     rec = {"gate": "unit_test_gate", "psnr_mean_db": 42.0}
     qgate._write_gate_artifact("unit_test_gate", rec,

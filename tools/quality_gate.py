@@ -198,24 +198,31 @@ def make_clip(n_frames, size, seed):
 def run_inv_gate(bundle, gate, args, gen_cache):
     """One inversion gate: invert the clip exact vs fast, push BOTH
     inverted latents through the SAME exact generation, PSNR the decoded
-    outputs."""
+    outputs.
+
+    Each side's Inverter is built ONCE and reused across seeds (inversion
+    is deterministic given the clip; the seed varies the clip itself) —
+    re-tracing the scanned step per seed dominated gate wall time on the
+    1-core TPU host."""
     from vidtome_tpu.core import chunk as chunking
     from vidtome_tpu.pipeline.generator import Generator
     from vidtome_tpu.pipeline.inverter import Inverter
 
     exact_over, fast_over = INV_GATES[gate]
+    side_invs = []
+    for over in (exact_over, fast_over):
+        cfg = make_inv_config(args.frames, args.steps, args.size, 123,
+                              **over)
+        side_invs.append(Inverter(bundle, cfg))
+    conds = side_invs[0].text([str(side_invs[0].prompt)] * args.frames)
     vals = []
     for seed in range(args.seeds):
         clip = jnp.asarray(make_clip(args.frames, args.size, seed),
                            jnp.float32)
+        latents = side_invs[0].vae.encode(clip)
         inverted = []
-        for over in (exact_over, fast_over):
-            cfg = make_inv_config(args.frames, args.steps, args.size,
-                                  123 + seed, **over)
-            inv = Inverter(bundle, cfg)
-            latents = inv.vae.encode(clip)
-            conds = inv.text([str(inv.prompt)] * args.frames)
-            inverted.append(inv._run(latents, conds, None, None,
+        for inv in side_invs:
+            inverted.append(inv._run(jnp.copy(latents), conds, None, None,
                                      inversion=True))
         if "gen" not in gen_cache:
             cfg = make_config(args.frames, args.steps, args.size, 123)
@@ -236,6 +243,46 @@ def run_inv_gate(bundle, gate, args, gen_cache):
         print(f"[gate:{gate}] seed {seed}: {vals[-1]:.2f} dB",
               file=sys.stderr)
     return vals
+
+
+def run_gen_gate(bundle, gate, args):
+    """One generation gate: sample the same init noise through the exact
+    and the fast config, PSNR the decoded outputs, over args.seeds seeds.
+
+    Each side's Generator is built ONCE (config seed fixed at 123 — the
+    merge-randomness/chunk-schedule key) and reused across seeds; only the
+    init noise varies per seed.  Re-tracing the 10-step scanned sample
+    block per (seed, side) dominated gate wall time on the 1-core host."""
+    from vidtome_tpu.pipeline.generator import Generator
+
+    exact_over, fast_over = GATES[gate]
+    n_frames = args.frames
+    if gate == "chunk_ragged_pad" and n_frames % 4 == 0:
+        n_frames -= 2  # force pad slots (32 -> 30 at default scale)
+    latent = args.size // 8
+    side_gens = []
+    for over in (exact_over, fast_over):
+        cfg = make_config(n_frames, args.steps, args.size, 123, **over)
+        gen = Generator(bundle, cfg)
+        gen.configure_frames(n_frames)
+        gen.depth = None
+        gen.control_images = None
+        side_gens.append(gen)
+    ctx = side_gens[0].text.embed_cfg("quality gate", "ugly, blurry")
+    vals = []
+    for seed in range(args.seeds):
+        init = jax.random.normal(
+            jax.random.key(1000 + seed),
+            (n_frames, latent, latent, 4), jnp.bfloat16)
+        outs = []
+        for gen in side_gens:
+            clean = gen.ddim_sample(jnp.copy(init[gen.pad_src]), ctx)
+            outs.append(np.asarray(
+                gen.vae.decode(clean[: n_frames]), np.float32))
+        vals.append(psnr(outs[0], outs[1]))
+        print(f"[gate:{gate}] seed {seed}: {vals[-1]:.2f} dB",
+              file=sys.stderr)
+    return n_frames, vals
 
 
 def _write_gate_artifact(gate, rec, gates_dir=None):
@@ -321,46 +368,21 @@ def main():
                 "seeds": args.seeds, "frames": args.frames,
                 "steps": args.steps, "size": args.size,
                 "harness": "joint: exact-vs-fast inversion -> exact generation",
+                "protocol": "per-seed clip; fixed inverter config (seed 123)",
                 "weights": "random (zero-egress proxy)",
                 "elapsed_s": round(time.time() - t0, 1),
             }
             print(json.dumps(rec))
             _write_gate_artifact(gate, rec)
             continue
-        exact_over, fast_over = GATES[gate]
-        n_frames = args.frames
-        if gate == "chunk_ragged_pad" and n_frames % 4 == 0:
-            n_frames -= 2  # force pad slots (32 -> 30 at default scale)
-        vals = []
-        for seed in range(args.seeds):
-            init = jax.random.normal(
-                jax.random.key(1000 + seed),
-                (n_frames, latent, latent, 4), jnp.bfloat16)
-            ctx = None
-            outs = []
-            for over in (exact_over, fast_over):
-                cfg = make_config(n_frames, args.steps, args.size,
-                                  123 + seed, **over)
-                from vidtome_tpu.pipeline.generator import Generator  # noqa
-
-                gen = Generator(bundle, cfg)
-                gen.configure_frames(n_frames)
-                gen.depth = None
-                gen.control_images = None
-                if ctx is None:
-                    ctx = gen.text.embed_cfg("quality gate", "ugly, blurry")
-                clean = gen.ddim_sample(jnp.copy(init[gen.pad_src]), ctx)
-                outs.append(np.asarray(
-                    gen.vae.decode(clean[: n_frames]), np.float32))
-            vals.append(psnr(outs[0], outs[1]))
-            print(f"[gate:{gate}] seed {seed}: {vals[-1]:.2f} dB",
-                  file=sys.stderr)
+        n_frames, vals = run_gen_gate(bundle, gate, args)
         rec = {
             "gate": gate,
             "psnr_exact_vs_fast_db": [round(v, 2) for v in vals],
             "psnr_mean_db": round(float(np.mean(vals)), 2),
             "seeds": args.seeds, "frames": n_frames,
             "steps": args.steps, "size": args.size,
+            "protocol": "per-seed init noise; fixed merge/chunk key (123)",
             "weights": "random (zero-egress proxy)",
             "elapsed_s": round(time.time() - t0, 1),
         }
