@@ -278,7 +278,10 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
     else:
         sw1 = sw2 = jnp.ones((1, Op), f32)
     tb1 = (tvec.astype(f32) + b1.astype(f32)[None, :])
-    tb1 = jnp.pad(tb1, ((0, 0), (0, Op - Co)))
+    # [B, 1, Op]: a (1, Op) block on a [B, Op] array violates the TPU
+    # sublane rule (second-to-last block dim must divide 8 or equal the
+    # array dim); the singleton middle axis makes the block exact.
+    tb1 = jnp.pad(tb1, ((0, 0), (0, Op - Co)))[:, None, :]
 
     Ta = max(KC, MT)
     const = lambda b, p, t: (0, 0)  # noqa: E731
@@ -302,7 +305,7 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
             pl.BlockSpec((_LANES, 9, Op),
                          lambda b, p, t: (jnp.minimum(t, KC - 1), 0, 0)),
             pl.BlockSpec((1, Op), const),
-            pl.BlockSpec((1, Op), lambda b, p, t: (b, 0)),
+            pl.BlockSpec((1, 1, Op), lambda b, p, t: (b, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec(
