@@ -85,6 +85,13 @@ SERVE_PROFILES = {
     "w42_m95": dict(quant="int8", cache_schedule="full:6,uniform:4",
                     cfg_schedule="full:6,uniform:2",
                     local_merge_ratio=0.95),
+    "w82_m95": dict(quant="int8", cache_schedule="full:6,uniform:8",
+                    cfg_schedule="full:6,uniform:2",
+                    local_merge_ratio=0.95),
+    "max": dict(quant="int8", cache_schedule="full:6,uniform:8",
+                cfg_schedule="full:6,uniform:2",
+                local_merge_ratio=0.95, global_merge_ratio=0.9,
+                resnet_mode="fused"),
 }
 
 
@@ -169,7 +176,7 @@ def main():
                              "TPU number) — on a real v5e-8 the same "
                              "command benchmarks actual scaling.")
     parser.add_argument("--serve-profile", default="w42",
-                        choices=["w42", "w63", "w82", "w42_m95"],
+                        choices=sorted(SERVE_PROFILES),
                         help="which quality-gated serving profile the "
                              "serve sidecar measures (deep-cache/CFG-cache "
                              "schedule depth + optional merge-ratio push; "

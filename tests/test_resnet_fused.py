@@ -158,7 +158,7 @@ class TestFusedResnet:
         y_std = block_std.apply({"params": params}, x, temb)
 
         block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True,
-                                resnet_mode="fused")
+                                resnet_mode="fused", resnet_policy="all")
         params_f = block_f.init(jax.random.key(2), x, temb)["params"]
         assert (jax.tree.structure(flax.core.unfreeze(params))
                 == jax.tree.structure(flax.core.unfreeze(params_f)))
@@ -189,7 +189,7 @@ class TestFusedResnet:
         y_std = block.apply({"params": res, "qparams": qp}, x, temb)
 
         block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True,
-                                resnet_mode="fused")
+                                resnet_mode="fused", resnet_policy="all")
         y_fused = block_f.apply({"params": res, "qparams": qp}, x, temb)
         a = np.asarray(y_std, np.float32)
         b = np.asarray(y_fused, np.float32)
@@ -206,12 +206,42 @@ class TestFusedResnet:
         params = block.init(jax.random.key(7), x, temb)["params"]
         y_std = block.apply({"params": params}, x, temb)
         block_f = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True,
-                                resnet_mode="fused")
+                                resnet_mode="fused", resnet_policy="all")
         y_fused = block_f.apply({"params": params}, x, temb)
         a = np.asarray(y_std, np.float32)
         b = np.asarray(y_fused, np.float32)
         scale = np.abs(a).max() + 1e-3
         np.testing.assert_allclose(b / scale, a / scale, atol=3e-2)
+
+    def test_measured_win_policy(self):
+        """The default "measured" policy routes only shapes where the
+        kernel beat XLA on v5e (tools/exp_resnet.py): int8 -> level-0
+        rows only; bf16 -> identity-shortcut shapes at >=1024 rows."""
+        import jax.numpy as jnp
+        import jax
+
+        from vidtome_tpu.models.layers import ResnetBlock2D
+
+        def ok(ci, co, rows, quant):
+            blk = ResnetBlock2D(co, dtype=jnp.bfloat16, use_pallas=True,
+                                resnet_mode="fused", resnet_quant=quant)
+            x = jax.ShapeDtypeStruct((1, rows // 8, 8, ci), jnp.bfloat16)
+            return blk._fused_ok(x, None)
+
+        assert ok(320, 320, 4096, True)       # L0 down int8: 1.88x
+        assert ok(640, 320, 4096, True)       # L0 up int8: 1.19x
+        assert not ok(640, 640, 1024, True)   # L1 down int8 loses: 0.89x
+        assert not ok(1280, 640, 1024, True)  # L1 up int8 loses: 0.53x
+        assert ok(320, 320, 4096, False)      # L0 down bf16: 1.32x
+        assert ok(640, 640, 1024, False)      # L1 down bf16: 1.13x
+        assert not ok(640, 320, 4096, False)  # L0 up bf16 loses: 0.94x
+        assert not ok(1280, 640, 1024, False)  # L1 up bf16 loses: 0.68x
+        assert not ok(64, 64, 64, False)      # tiny shapes: XLA path
+        # "all" bypasses the shape policy (kernel correctness tests)
+        blk = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True,
+                            resnet_mode="fused", resnet_policy="all")
+        x = jax.ShapeDtypeStruct((1, 8, 8, 64), jnp.bfloat16)
+        assert blk._fused_ok(x, None)
 
     def test_taller_than_mtile(self):
         # H=32 exercises multi-m-tile writes (MR=16 at Op=128... MR

@@ -251,6 +251,13 @@ class ResnetBlock2D(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas: Optional[bool] = None
     resnet_mode: str = "off"
+    # whether the serving path quantized the conv weights (int8 W8A8) —
+    # dispatch-policy input only; the actual branch keys off qparams
+    resnet_quant: bool = False
+    # "measured" routes only shapes where the kernel beat XLA on v5e
+    # (tools/exp_resnet.py); "all" routes every budget-eligible shape
+    # (kernel correctness tests)
+    resnet_policy: str = "measured"
 
     def _fused_ok(self, x, inject) -> bool:
         if self.resnet_mode != "fused" or inject is not None:
@@ -264,7 +271,19 @@ class ResnetBlock2D(nn.Module):
         B, H, W, Ci = x.shape
         rows = H * W
         op = -(-self.out_channels // 128) * 128
-        return rows % 8 == 0 and rows * op * 4 <= (13 << 20) // 2
+        if rows % 8 != 0 or rows * op * 4 > (13 << 20) // 2:
+            return False
+        if self.resnet_policy == "all":
+            return True
+        # Measured-win dispatch (tools/exp_resnet.py, v5e, 512p shapes):
+        # int8 wins only at level-0 rows (320->320 1.88x, 640->320 1.19x;
+        # level-1 loses 0.89x/0.53x — XLA's int8 convs are strong at
+        # 32x32); bf16 wins only on identity-shortcut shapes (320->320
+        # 1.32x, 640->640 1.13x; projection shapes lose 0.94x/0.68x —
+        # the serialized 1x1-shortcut dots stall the conv2 phase).
+        if self.resnet_quant:
+            return rows >= 4096
+        return Ci == self.out_channels and rows >= 1024
 
     def _fused(self, x, temb):
         from vidtome_tpu.ops.resnet import fused_resnet

@@ -117,10 +117,12 @@ class ModelBundle:
 
     def make_unet(self, tome: Optional[ToMeConfig] = None,
                   use_pallas: Optional[bool] = None,
-                  resnet_mode: str = "off") -> UNet2DConditionModel:
+                  resnet_mode: str = "off",
+                  resnet_quant: bool = False) -> UNet2DConditionModel:
         return UNet2DConditionModel(config=self.unet_config, tome=tome,
                                     dtype=self.dtype, use_pallas=use_pallas,
-                                    resnet_mode=resnet_mode)
+                                    resnet_mode=resnet_mode,
+                                    resnet_quant=resnet_quant)
 
     def make_vae(self) -> AutoencoderKL:
         chans, layers = self.vae_channels

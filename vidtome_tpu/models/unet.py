@@ -131,6 +131,8 @@ class UNet2DConditionModel(nn.Module):
     # fused Pallas resnet-block dispatch ("off"/"fused") — config key
     # generation.resnet_mode / inversion.resnet_mode
     resnet_mode: str = "off"
+    # int8 serving active (dispatch-policy input for the fused kernel)
+    resnet_quant: bool = False
 
     def _transformer(self, channels: int, level: int, name: str):
         heads, head_dim = self.config.heads_for(channels)
@@ -219,6 +221,7 @@ class UNet2DConditionModel(nn.Module):
                 h = ResnetBlock2D(ch, dtype=self.dtype,
                                   use_pallas=self.use_pallas,
                                   resnet_mode=self.resnet_mode,
+                                  resnet_quant=self.resnet_quant,
                                   name=f"down_{i}_resnets_{j}")(h, temb)
                 if has_attn:
                     h = self._transformer(ch, i, f"down_{i}_attentions_{j}")(
@@ -236,12 +239,14 @@ class UNet2DConditionModel(nn.Module):
             h = ResnetBlock2D(ch_mid, dtype=self.dtype,
                               use_pallas=self.use_pallas,
                               resnet_mode=self.resnet_mode,
+                              resnet_quant=self.resnet_quant,
                               name="mid_resnets_0")(h, temb)
             h = self._transformer(ch_mid, mid_level, "mid_attentions_0")(
                 h, context, tome_call=tome_call, num_lanes=num_lanes)
             h = ResnetBlock2D(ch_mid, dtype=self.dtype,
                               use_pallas=self.use_pallas,
                               resnet_mode=self.resnet_mode,
+                              resnet_quant=self.resnet_quant,
                               name="mid_resnets_1")(h, temb)
 
             # ---- ControlNet residuals --------------------------------------
@@ -276,6 +281,7 @@ class UNet2DConditionModel(nn.Module):
                 h = ResnetBlock2D(ch, dtype=self.dtype,
                                   use_pallas=self.use_pallas,
                                   resnet_mode=self.resnet_mode,
+                                  resnet_quant=self.resnet_quant,
                                   name=f"up_{i}_resnets_{j}")(
                     h, temb, inject=inj, num_lanes=num_lanes)
                 if has_attn:

@@ -223,10 +223,16 @@ class Generator:
 
         # Fused Pallas resnet-block dispatch (ops/resnet.py, DESIGN §8.4):
         # "off" (XLA path) or "fused"; a config dial like quant/cache_*.
+        # The quant mode is parsed first because the fused kernel's
+        # measured-win shape policy differs between bf16 and int8.
         self.resnet_mode = str(gene.get(
             "resnet_mode", config.get("resnet_mode", "off")) or "off")
-        self.unet = bundle.make_unet(tome=self.tome, use_pallas=use_pallas,
-                                     resnet_mode=self.resnet_mode)
+        self.quant = str(gene.get("quant", config.get("quant", "none"))
+                         or "none").lower()
+        self.unet = bundle.make_unet(
+            tome=self.tome, use_pallas=use_pallas,
+            resnet_mode=self.resnet_mode,
+            resnet_quant=self.quant in ("int8", "w8a8"))
         self.unet_params = bundle.unet_params
         if self.use_controlnet:
             self.controlnet = bundle.make_controlnet(use_pallas=use_pallas)
@@ -240,8 +246,6 @@ class Generator:
         # modules pick up the "qparams" collection at apply time.  The
         # TPU-native analog of the reference's fp16 serving dial
         # (utils/utils.py:42-66) — see ops/quant.py.
-        self.quant = str(gene.get("quant", config.get("quant", "none"))
-                         or "none").lower()
         if self.quant in ("int8", "w8a8"):
             from vidtome_tpu.ops import quant as quant_ops
 

@@ -92,13 +92,15 @@ class Inverter:
 
         self.resnet_mode = str(inv.get(
             "resnet_mode", config.get("resnet_mode", "off")) or "off")
-        unet = bundle.make_unet(use_pallas=use_pallas,
-                                resnet_mode=self.resnet_mode)
-        self._params = {"unet": bundle.unet_params}
         # Int8 (W8A8) serving for the inversion UNet (same mechanism as
-        # the Generator; see ops/quant.py).
+        # the Generator; see ops/quant.py).  Parsed before make_unet:
+        # the fused resnet kernel's shape policy depends on it.
         self.quant = str(inv.get("quant", config.get("quant", "none"))
                          or "none").lower()
+        unet = bundle.make_unet(use_pallas=use_pallas,
+                                resnet_mode=self.resnet_mode,
+                                resnet_quant=self.quant in ("int8", "w8a8"))
+        self._params = {"unet": bundle.unet_params}
         use_controlnet = self.control not in ("none", "pnp")
         if use_controlnet:
             controlnet = bundle.make_controlnet(use_pallas=use_pallas)
