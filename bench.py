@@ -49,8 +49,9 @@ patch.py:104-114) cuts ~12% of FLOPs for ~4% wall time.
 Prints ONE json line.  The headline ``value`` is the quality-gated
 serving profile (int8 + front-loaded deep-feature cache + aligned CFG
 delta cache — every lever clears the BASELINE 35 dB fidelity proxy
-individually and combined at 38.73 dB, docs/DESIGN.md §9; the
-reference's own numbers likewise come from its fp16 serving path).
+individually and combined, per the on-TPU measurement artifact
+gates/serve_<profile>.json reported as serve_gate_db; the reference's
+own numbers likewise come from its fp16 serving path).
 The exact reference-parity bf16 mode always rides along:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/1.8,
    "exact_fps": ..., "exact_vs_baseline": ..., "end_to_end_fps": ...,
@@ -92,6 +93,21 @@ SERVE_PROFILES = {
                 cfg_schedule="full:6,uniform:2",
                 local_merge_ratio=0.95, global_merge_ratio=0.9,
                 resnet_mode="fused"),
+}
+
+# Inversion-side serving profiles (--inv-serve-profile).  Same artifact
+# rule as SERVE_PROFILES: the mapped gates/<gate>.json must measure
+# >= 35 dB before the profile joins the serve end-to-end number.  The
+# int8+cache combinations missed the inversion bar on TPU (34.76 /
+# 34.90 / 34.98 dB) while each lever clears individually (int8 37.34,
+# cache_w3 35.91), so the gated profiles are single-lever.
+INV_SERVE_PROFILES = {
+    "int8": (dict(quant="int8"), "inv_int8"),
+    "int8_fused": (dict(quant="int8", resnet_mode="fused"),
+                   "inv_int8_fused"),
+    "cache_w3": (dict(cache_schedule="full:6,uniform:3"), "inv_cache_w3"),
+    "int8_w3": (dict(quant="int8", cache_schedule="full:6,uniform:3"),
+                "inv_int8_w3"),
 }
 
 
@@ -182,6 +198,13 @@ def main():
                              "schedule depth + optional merge-ratio push; "
                              "gates/serve_<profile>.json must clear 35 dB "
                              "before one becomes the headline)")
+    parser.add_argument("--inv-serve-profile", default="int8",
+                        choices=sorted(INV_SERVE_PROFILES),
+                        help="which quality-gated inversion serving "
+                             "profile the inversion serve sidecar "
+                             "measures; its mapped gates/<gate>.json must "
+                             "clear 35 dB before it joins "
+                             "serve_end_to_end_fps")
     parser.add_argument("--int8", action="store_true",
                         help="int8 (W8A8) quantized serving: UNet hot "
                              "matmuls/convs run s8xs8->s32 on the MXU "
@@ -313,38 +336,35 @@ def main():
           f"{inv_elapsed:.2f}s ({args.frames / inv_elapsed:.2f} frames/s)",
           file=sys.stderr)
 
-    # Inversion serving sidecar (default runs): int8 + front-loaded deep
-    # cache on the inversion loop.  Reported as inv_serve_fps; it only
-    # joins the serve end-to-end number once gates/inv_int8_w3.json
-    # measures >= 35 dB (same artifact rule as serve_gate_db).
+    # Inversion serving sidecar (default runs): the gated inversion
+    # lever (default int8-only — the int8+cache combos missed the 35 dB
+    # joint gate; see INV_SERVE_PROFILES).  Reported as inv_serve_fps; it
+    # only joins the serve end-to-end number when its mapped gate
+    # artifact measures >= 35 dB (same artifact rule as serve_gate_db).
     inv_serve_elapsed = None
+    inv_overrides, inv_gate_name = INV_SERVE_PROFILES[
+        args.inv_serve_profile]
     if (not args.quick and not args.int8 and not args.pnp
             and not args.cache and not args.ldm
             and not args.no_share_match):
         try:
             inv_s_cfg = Config(inv_cfg.to_dict())
             inv_s_cfg["inversion"] = dict(
-                inv_cfg["inversion"], quant="int8",
-                cache_schedule="full:6,uniform:3")
+                inv_cfg["inversion"], quant="none", **inv_overrides)
             inv_s = Inverter(bundle, inv_s_cfg)
-            # warm BOTH cache-mode executables (full refresh + shallow)
-            ch = bundle.unet_config.block_out_channels[1]
-            warm, deep_w = inv_s._full_step(
-                inv_s._params, jnp.copy(lat0), inv_s._tables,
-                jnp.asarray(0, jnp.int32), True, conds, None, None,
-                jnp.zeros(lat0.shape[:3] + (ch,), lat0.dtype),
-                cache_mode="full")
-            warm2, _d = inv_s._full_step(
-                inv_s._params, jnp.copy(lat0), inv_s._tables,
-                jnp.asarray(1, jnp.int32), True, conds, None, None,
-                deep_w, cache_mode="shallow")
-            _ = float(jnp.sum(warm)) + float(jnp.sum(warm2))
+            # warm run compiles every executable the mode needs (full +
+            # shallow cache phases etc.); the second run is the timing
+            warm = inv_s._run(jnp.copy(lat0), conds, None, None,
+                              inversion=True)
+            _ = float(jnp.sum(warm))
             t0 = time.time()
-            out_s = inv_s._run(lat0, conds, None, None, inversion=True)
+            out_s = inv_s._run(jnp.copy(lat0), conds, None, None,
+                               inversion=True)
             _ = float(jnp.sum(out_s))
             inv_serve_elapsed = time.time() - t0
-            print(f"[bench] inversion serve (int8+w3): {args.frames} x "
-                  f"{args.steps} in {inv_serve_elapsed:.2f}s "
+            print(f"[bench] inversion serve ({args.inv_serve_profile}): "
+                  f"{args.frames} x {args.steps} in "
+                  f"{inv_serve_elapsed:.2f}s "
                   f"({args.frames / inv_serve_elapsed:.2f} frames/s)",
                   file=sys.stderr)
         except Exception as e:
@@ -481,9 +501,10 @@ def main():
     # Headline semantics: the production serving profile (int8 +
     # front-loaded deep-feature cache + aligned CFG delta cache) IS the
     # deployment configuration — every lever in it clears the BASELINE
-    # 35 dB fidelity gate individually AND combined (38.73 dB measured
-    # proxy, docs/DESIGN.md §9), mirroring how the reference's own
-    # numbers come from its fp16 serving path rather than fp32 exact.
+    # 35 dB fidelity gate individually AND combined (on-TPU measurement
+    # artifact gates/serve_<profile>.json, reported as serve_gate_db),
+    # mirroring how the reference's own numbers come from its fp16
+    # serving path rather than fp32 exact.
     # The exact reference-parity bf16 mode is always reported alongside
     # as exact_fps / exact_vs_baseline.
     headline = serve_fps if serve_fps is not None else fps
@@ -528,9 +549,10 @@ def main():
         result["int8_vs_baseline"] = round(int8_fps / A100_BASELINE_FPS, 4)
     if inv_serve_elapsed is not None:
         result["inv_serve_fps"] = round(args.frames / inv_serve_elapsed, 4)
+        result["inv_serve_profile"] = args.inv_serve_profile
         inv_gate = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "gates",
-            "inv_int8_w3.json")
+            f"{inv_gate_name}.json")
         if serve_fps is not None and os.path.exists(inv_gate):
             with open(inv_gate) as f:
                 inv_rec = json.load(f)
@@ -541,6 +563,8 @@ def main():
                     inv_serve_elapsed + args.frames / serve_fps)
                 result["serve_end_to_end_fps"] = round(e2e_serve, 4)
                 result["inv_serve_gate_db"] = inv_rec.get("psnr_mean_db")
+                result["inv_serve_gate_source"] = (
+                    f"gates/{inv_gate_name}.json")
     if serve_fps is not None:
         result["serve_profile"] = args.serve_profile
         result["serve_fps"] = round(serve_fps, 4)
