@@ -57,7 +57,7 @@ The exact reference-parity bf16 mode always rides along:
    "exact_fps": ..., "exact_vs_baseline": ..., "end_to_end_fps": ...,
    "inversion_fps": ..., "gen_tflops": ..., "gen_mfu": ...,
    "int8_fps": ..., "serve_fps": ...,
-   "serve_gate_db": <from gates/serve_w42.json, when measured>}
+   "serve_gate_db": <from gates/serve_<profile>.json, when measured>}
 (gen_tflops / gen_mfu describe the exact-mode sample loop, whose FLOP
 model is well-defined; cache modes change the executed graph per step.)
 """
@@ -100,7 +100,9 @@ SERVE_PROFILES = {
 # >= 35 dB before the profile joins the serve end-to-end number.  The
 # int8+cache combinations missed the inversion bar on TPU (34.76 /
 # 34.90 / 34.98 dB) while each lever clears individually (int8 37.34,
-# cache_w3 35.91), so the gated profiles are single-lever.
+# cache_w3 35.91), so the gated profiles are single-lever.  Default is
+# cache_w3: the measured TPU race (perf/serve_race_r4.json) puts it at
+# 3.48 f/s vs int8's 2.80, both cleared.
 INV_SERVE_PROFILES = {
     "int8": (dict(quant="int8"), "inv_int8"),
     "int8_fused": (dict(quant="int8", resnet_mode="fused"),
@@ -191,14 +193,14 @@ def main():
                              "sharding validation; wall-clock is NOT a "
                              "TPU number) — on a real v5e-8 the same "
                              "command benchmarks actual scaling.")
-    parser.add_argument("--serve-profile", default="w42",
+    parser.add_argument("--serve-profile", default="max",
                         choices=sorted(SERVE_PROFILES),
                         help="which quality-gated serving profile the "
                              "serve sidecar measures (deep-cache/CFG-cache "
                              "schedule depth + optional merge-ratio push; "
                              "gates/serve_<profile>.json must clear 35 dB "
                              "before one becomes the headline)")
-    parser.add_argument("--inv-serve-profile", default="int8",
+    parser.add_argument("--inv-serve-profile", default="cache_w3",
                         choices=sorted(INV_SERVE_PROFILES),
                         help="which quality-gated inversion serving "
                              "profile the inversion serve sidecar "
