@@ -93,6 +93,31 @@ SERVE_PROFILES = {
                 cfg_schedule="full:6,uniform:2",
                 local_merge_ratio=0.95, global_merge_ratio=0.9,
                 resnet_mode="fused"),
+    # eps-reuse step-skip frontier (third serving cache — skipped steps
+    # run no UNet at all; pipeline/generator.py).  Cadences are chosen so
+    # deep refreshes ⊆ cfg refreshes ⊆ eps-run steps (no auto-align
+    # repair fires).  The *x variants linearly extrapolate the cached eps
+    # along the last refresh-to-refresh slope.
+    "maxe2": dict(quant="int8", cache_schedule="full:6,uniform:8",
+                  cfg_schedule="full:6,uniform:4",
+                  eps_schedule="full:6,uniform:2",
+                  local_merge_ratio=0.95, global_merge_ratio=0.9,
+                  resnet_mode="fused"),
+    "maxe2x": dict(quant="int8", cache_schedule="full:6,uniform:8",
+                   cfg_schedule="full:6,uniform:4",
+                   eps_schedule="full:6,uniform:2", eps_extrapolate=True,
+                   local_merge_ratio=0.95, global_merge_ratio=0.9,
+                   resnet_mode="fused"),
+    "maxe3": dict(quant="int8", cache_schedule="full:6,uniform:12",
+                  cfg_schedule="full:6,uniform:6",
+                  eps_schedule="full:6,uniform:3",
+                  local_merge_ratio=0.95, global_merge_ratio=0.9,
+                  resnet_mode="fused"),
+    "maxe3x": dict(quant="int8", cache_schedule="full:6,uniform:12",
+                   cfg_schedule="full:6,uniform:6",
+                   eps_schedule="full:6,uniform:3", eps_extrapolate=True,
+                   local_merge_ratio=0.95, global_merge_ratio=0.9,
+                   resnet_mode="fused"),
 }
 
 # Inversion-side serving profiles (--inv-serve-profile).  Same artifact
@@ -110,6 +135,20 @@ INV_SERVE_PROFILES = {
     "cache_w3": (dict(cache_schedule="full:6,uniform:3"), "inv_cache_w3"),
     "int8_w3": (dict(quant="int8", cache_schedule="full:6,uniform:3"),
                 "inv_int8_w3"),
+    # eps-reuse step-skip levers (skipped steps run no UNet)
+    "eps_w2": (dict(eps_schedule="full:6,uniform:2"), "inv_eps_w2"),
+    "eps_w2x": (dict(eps_schedule="full:6,uniform:2",
+                     eps_extrapolate=True), "inv_eps_w2x"),
+    "eps_w3x": (dict(eps_schedule="full:6,uniform:3",
+                     eps_extrapolate=True), "inv_eps_w3x"),
+    # interleaved: deep-shallow on half the run steps, eps-skip the odds
+    "cache_w6_eps_w2": (dict(cache_schedule="full:6,uniform:6",
+                             eps_schedule="full:6,uniform:2"),
+                        "inv_cache_w6_eps_w2"),
+    "cache_w6_eps_w2x": (dict(cache_schedule="full:6,uniform:6",
+                              eps_schedule="full:6,uniform:2",
+                              eps_extrapolate=True),
+                         "inv_cache_w6_eps_w2x"),
 }
 
 

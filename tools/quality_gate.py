@@ -154,6 +154,46 @@ GATES = {
                        "local_merge_ratio": 0.95,
                        "global_merge_ratio": 0.9,
                        "resnet_mode": "fused"}),
+    # eps-reuse step skip (third serving cache, round 4): skipped steps
+    # run NO UNet — the DDIM update reuses the cached guidance-combined
+    # eps; *x = linear extrapolation along the last refresh slope
+    "epscache_w2": ({}, {"eps_schedule": "full:6,uniform:2"}),
+    "epscache_w2x": ({}, {"eps_schedule": "full:6,uniform:2",
+                          "eps_extrapolate": True}),
+    "epscache_w3x": ({}, {"eps_schedule": "full:6,uniform:3",
+                          "eps_extrapolate": True}),
+    # full-stack profiles with the eps skip on top of serve_max's levers
+    # (cadences keep deep ⊆ cfg ⊆ eps-run, so no auto-align repair)
+    "serve_maxe2": ({}, {"quant": "int8",
+                         "cache_schedule": "full:6,uniform:8",
+                         "cfg_schedule": "full:6,uniform:4",
+                         "eps_schedule": "full:6,uniform:2",
+                         "local_merge_ratio": 0.95,
+                         "global_merge_ratio": 0.9,
+                         "resnet_mode": "fused"}),
+    "serve_maxe2x": ({}, {"quant": "int8",
+                          "cache_schedule": "full:6,uniform:8",
+                          "cfg_schedule": "full:6,uniform:4",
+                          "eps_schedule": "full:6,uniform:2",
+                          "eps_extrapolate": True,
+                          "local_merge_ratio": 0.95,
+                          "global_merge_ratio": 0.9,
+                          "resnet_mode": "fused"}),
+    "serve_maxe3": ({}, {"quant": "int8",
+                         "cache_schedule": "full:6,uniform:12",
+                         "cfg_schedule": "full:6,uniform:6",
+                         "eps_schedule": "full:6,uniform:3",
+                         "local_merge_ratio": 0.95,
+                         "global_merge_ratio": 0.9,
+                         "resnet_mode": "fused"}),
+    "serve_maxe3x": ({}, {"quant": "int8",
+                          "cache_schedule": "full:6,uniform:12",
+                          "cfg_schedule": "full:6,uniform:6",
+                          "eps_schedule": "full:6,uniform:3",
+                          "eps_extrapolate": True,
+                          "local_merge_ratio": 0.95,
+                          "global_merge_ratio": 0.9,
+                          "resnet_mode": "fused"}),
     # chunk-boundary deviation (VERDICT r3 item 4): exact side = the
     # reference's ragged-first-chunk semantics (no wraparound chunk,
     # pads never scheduled — generate.py:172-203), fast side = our
@@ -189,6 +229,20 @@ INV_GATES = {
                          "cache_schedule": "full:6,uniform:2"}),
     "inv_int8_w3f12": ({}, {"quant": "int8",
                             "cache_schedule": "full:12,uniform:3"}),
+    # eps-reuse step skip on the inversion loop (skipped steps run no
+    # UNet; specs in inversion step order — see pipeline/inverter.py)
+    "inv_eps_w2": ({}, {"eps_schedule": "full:6,uniform:2"}),
+    "inv_eps_w2x": ({}, {"eps_schedule": "full:6,uniform:2",
+                         "eps_extrapolate": True}),
+    "inv_eps_w3x": ({}, {"eps_schedule": "full:6,uniform:3",
+                         "eps_extrapolate": True}),
+    # interleaved deep-shallow + eps-skip: run steps at evens (deep-full
+    # every 6th, shallow otherwise), eps-skip the odd steps
+    "inv_cache_w6_eps_w2": ({}, {"cache_schedule": "full:6,uniform:6",
+                                 "eps_schedule": "full:6,uniform:2"}),
+    "inv_cache_w6_eps_w2x": ({}, {"cache_schedule": "full:6,uniform:6",
+                                  "eps_schedule": "full:6,uniform:2",
+                                  "eps_extrapolate": True}),
 }
 
 
@@ -361,8 +415,10 @@ def share_match_plan_overlap(bundle, frames, size, seed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", default="all",
-                    choices=list(GATES) + list(INV_GATES)
-                    + ["all", "inv_all"])
+                    help="gate name, comma-separated list of gate names, "
+                         "'all' (generation gates) or 'inv_all' "
+                         "(inversion gates); one process measures them "
+                         "all in order")
     ap.add_argument("--seeds", type=int, default=3)
     # default 32 frames: the fast-side configs then reuse the bench
     # executables from the compilation cache (same shapes), so only the
@@ -381,7 +437,10 @@ def main():
     elif args.gate == "inv_all":
         gates = list(INV_GATES)
     else:
-        gates = [args.gate]
+        gates = [g.strip() for g in args.gate.split(",") if g.strip()]
+        unknown = [g for g in gates if g not in GATES and g not in INV_GATES]
+        if unknown:
+            ap.error(f"unknown gate(s): {unknown}")
 
     inv_gen_cache: dict = {}
     for gate in gates:

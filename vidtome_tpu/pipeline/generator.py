@@ -188,8 +188,31 @@ class Generator:
         # near-interval-2 fidelity (measured in DESIGN.md §9).
         self.cache_schedule = gene.get("cache_schedule") or None
         self.cfg_schedule = gene.get("cfg_schedule") or None
+        # Eps-reuse step skip (third serving cache, quality-gated like the
+        # other two): steps whose eps-mask entry is False run NO UNet at
+        # all — the DDIM update reuses the last computed guidance-combined
+        # eps (optionally linearly extrapolated from the last two refresh
+        # steps, ``eps_extrapolate``).  The deep/CFG caches cannot refresh
+        # on a skipped step, so _mode_masks force-aligns the eps-run mask
+        # over every ACTIVE cache's refresh steps (strictly more compute
+        # than requested; quality can only improve).  No reference
+        # counterpart — the training-free analog of TeaCache-style step
+        # skipping for the TPU serving path.
+        self.eps_interval = int(gene.get("eps_interval", 0) or 0)
+        self.eps_schedule = gene.get("eps_schedule") or None
+        self.eps_on = bool(self.eps_interval or self.eps_schedule)
+        self.eps_extrapolate = bool(gene.get("eps_extrapolate", False))
         self.cache_on = bool(self.cache_interval or self.cache_schedule)
         self.cfg_on = bool(self.cfg_interval or self.cfg_schedule)
+        if self.eps_on and self.use_pnp:
+            # a skipped step runs no UNet, so the per-timestep PnP
+            # feature/attention injections silently vanish on those steps
+            # — same hazard class as PnP+deepcache below; no gated
+            # profile combines them.  Fail fast.
+            raise ValueError(
+                "eps_interval/eps_schedule cannot be combined with "
+                "control: pnp — skipped steps run no UNet, dropping that "
+                "timestep's PnP injections.")
         if self.cache_on and self.use_pnp:
             # shallow steps run only the level-0 UNet path, which skips
             # the up-block-1 PnP conv/attention injections — the flagship
@@ -362,6 +385,8 @@ class Generator:
 
         cache_on = self.cache_on
         cfg_on = self.cfg_on
+        eps_on = self.eps_on
+        eps_extrapolate = self.eps_extrapolate
 
         def chunk_eps(bank_mode, params, x_full, eps_buf, fidx, banks,
                       step_i, chunk_pos, context, source_full, depth_full,
@@ -528,6 +553,24 @@ class Generator:
                     (fidx_all[1:],
                      jnp.arange(1, n_chunks, dtype=jnp.int32)))
 
+            if eps_on:
+                # store the guidance-combined eps for eps-skip steps (and
+                # the previous refresh's eps + step indices when linear
+                # extrapolation is on; before the second refresh the
+                # "previous" slot aliases the current one, so the slope
+                # degenerates to plain reuse)
+                eps32 = eps.astype(jnp.float32)
+                step_f = step_i.astype(jnp.float32)
+                if eps_extrapolate:
+                    first = caches["eps_step"] < 0
+                    caches = dict(
+                        caches,
+                        eps_prev=jnp.where(first, eps32, caches["eps"]),
+                        eps_prev_step=jnp.where(first, step_f,
+                                                caches["eps_step"]),
+                        eps=eps32, eps_step=step_f)
+                else:
+                    caches = dict(caches, eps=eps32)
             a_t_tab, a_prev_tab = alpha_tables
             x_next = ddim_step(x, eps, a_t_tab[step_i], a_prev_tab[step_i])
             return x_next.astype(x.dtype), caches
@@ -544,9 +587,10 @@ class Generator:
             scalar placeholder when PnP is off).
             caches: serving-cache buffer dict from _cache_buffers (scalar
             placeholders when the caches are off); mode_tab is the
-            [num_steps, 2] int32 refresh table from _mode_masks (column 0:
+            [num_steps, 3] int32 refresh table from _mode_masks (column 0:
             run the full UNet and refresh the deep cache; column 1:
-            refresh the CFG delta cache) — built per sampling start so a
+            refresh the CFG delta cache; column 2: run the UNet at all —
+            0 reuses the cached eps) — built per sampling start so a
             refiner stage entering mid-schedule still opens with
             cache-refreshing full steps.  Scalar placeholder when both
             caches are off."""
@@ -555,11 +599,6 @@ class Generator:
                 x, caches = carry
                 step_i = start_i + j
                 src = src_table[step_i] if use_pnp else src_table
-                if not (cache_on or cfg_on):
-                    x, _ = step(params, x, step_i, fidx_table[step_i],
-                                context, src, depth_full, control_full,
-                                guidance_scale, caches)
-                    return (x, caches)
 
                 def run(mode, skip, operands):
                     x, caches = operands
@@ -567,25 +606,54 @@ class Generator:
                                 context, src, depth_full, control_full,
                                 guidance_scale, caches, mode, skip)
 
-                if cache_on and cfg_on:
-                    idx = 2 * mode_tab[step_i, 0] + mode_tab[step_i, 1]
-                    return jax.lax.switch(idx, [
-                        functools.partial(run, "shallow", True),
-                        functools.partial(run, "shallow", False),
-                        functools.partial(run, "full", True),
-                        functools.partial(run, "full", False),
-                    ], (x, caches))
-                if cache_on:
+                def run_modes(operands):
+                    if not (cache_on or cfg_on):
+                        return run("off", False, operands)
+                    if cache_on and cfg_on:
+                        idx = 2 * mode_tab[step_i, 0] + mode_tab[step_i, 1]
+                        return jax.lax.switch(idx, [
+                            functools.partial(run, "shallow", True),
+                            functools.partial(run, "shallow", False),
+                            functools.partial(run, "full", True),
+                            functools.partial(run, "full", False),
+                        ], operands)
+                    if cache_on:
+                        return jax.lax.cond(
+                            mode_tab[step_i, 0] == 1,
+                            functools.partial(run, "full", False),
+                            functools.partial(run, "shallow", False),
+                            operands)
                     return jax.lax.cond(
-                        mode_tab[step_i, 0] == 1,
-                        functools.partial(run, "full", False),
-                        functools.partial(run, "shallow", False),
-                        (x, caches))
-                return jax.lax.cond(
-                    mode_tab[step_i, 1] == 1,
-                    functools.partial(run, "off", False),
-                    functools.partial(run, "off", True),
-                    (x, caches))
+                        mode_tab[step_i, 1] == 1,
+                        functools.partial(run, "off", False),
+                        functools.partial(run, "off", True),
+                        operands)
+
+                if not eps_on:
+                    return run_modes((x, caches))
+
+                def skip_step(operands):
+                    # eps-reuse step: NO UNet call — the DDIM update runs
+                    # on the cached guidance-combined eps, linearly
+                    # extrapolated from the last two refreshes when
+                    # eps_extrapolate is on (slope scaled by the step
+                    # distance, so any refresh cadence extrapolates
+                    # consistently).
+                    x, caches = operands
+                    e = caches["eps"]
+                    if eps_extrapolate:
+                        gap = caches["eps_step"] - caches["eps_prev_step"]
+                        factor = ((step_i.astype(jnp.float32)
+                                   - caches["eps_step"])
+                                  / jnp.maximum(gap, 1.0))
+                        e = e + factor * (e - caches["eps_prev"])
+                    a_t_tab, a_prev_tab = alpha_tables
+                    x2 = ddim_step(x, e, a_t_tab[step_i],
+                                   a_prev_tab[step_i])
+                    return (x2.astype(x.dtype), caches)
+
+                return jax.lax.cond(mode_tab[step_i, 2] == 1,
+                                    run_modes, skip_step, (x, caches))
 
             return jax.lax.fori_loop(0, n_steps, body, (x, caches))
 
@@ -619,19 +687,49 @@ class Generator:
             deep = jnp.zeros((), self.bundle.dtype)
         ucond = (jnp.zeros(x.shape[:3] + (4,), jnp.float32)
                  if self.cfg_on else jnp.zeros((), jnp.float32))
-        return {"deep": deep, "ucond": ucond}
+        bufs = {"deep": deep, "ucond": ucond}
+        # eps-reuse cache: last guidance-combined eps (+ the previous
+        # refresh's eps and both refresh step indices when linear
+        # extrapolation is on).  Distinct zero buffers per leaf — the
+        # caches pytree is donated (see the deep/ucond note above).
+        bufs["eps"] = (jnp.zeros(x.shape[:3] + (4,), jnp.float32)
+                       if self.eps_on else jnp.zeros((), jnp.float32))
+        if self.eps_on and self.eps_extrapolate:
+            bufs["eps_prev"] = jnp.zeros(x.shape[:3] + (4,), jnp.float32)
+            bufs["eps_step"] = jnp.full((), -1.0, jnp.float32)
+            bufs["eps_prev_step"] = jnp.full((), -1.0, jnp.float32)
+        return bufs
 
     def _mode_masks(self, start: int = 0):
-        """[num_steps, 2] int32 refresh table for sample_block (column 0:
-        deep-feature cache, column 1: CFG delta cache), or a scalar
-        placeholder when both caches are off."""
-        if not (self.cache_on or self.cfg_on):
+        """[num_steps, 3] int32 refresh table for sample_block (column 0:
+        deep-feature cache, column 1: CFG delta cache, column 2: run the
+        UNet at all — eps-reuse skip), or a scalar placeholder when all
+        three caches are off."""
+        if not (self.cache_on or self.cfg_on or self.eps_on):
             return jnp.zeros((), jnp.int32)
         n = self.scheduler.num_steps
         deep = refresh_mask(self.cache_schedule, self.cache_interval or 1,
                             n, start)
         cfgm = refresh_mask(self.cfg_schedule, self.cfg_interval or 1,
                             n, start)
+        epsm = refresh_mask(self.eps_schedule, self.eps_interval or 1,
+                            n, start)
+        if self.eps_on:
+            # a skipped step cannot refresh the other caches: force the
+            # eps-run mask over every ACTIVE cache's refresh steps (same
+            # repair policy as the deep/cfg alignment below — strictly
+            # more computation than requested, quality can only improve)
+            align = np.zeros(n, bool)
+            if self.cache_on:
+                align |= deep
+            if self.cfg_on:
+                align |= cfgm
+            forced = int((align[start:] & ~epsm[start:]).sum())
+            if forced:
+                print(f"[WARNING] {forced} deep/CFG cache refresh steps "
+                      "fall on eps-skip steps; those steps now run the "
+                      "UNet (eps-run mask auto-aligned upward).")
+                epsm = epsm | align
         if self.cache_on and self.cfg_on:
             # The uncond lane's deep-cache slice only refreshes on steps
             # that are BOTH deep-full and cfg-full (cfg-skip steps drop
@@ -652,7 +750,7 @@ class Generator:
                       "serve32). Auto-aligning: those steps now also "
                       "refresh the CFG delta cache.")
                 cfgm = cfgm | deep
-        return jnp.asarray(np.stack([deep, cfgm], axis=1), jnp.int32)
+        return jnp.asarray(np.stack([deep, cfgm, epsm], axis=1), jnp.int32)
 
     def warmup(self, x, context):
         """Compile the production sample-block executable (and force

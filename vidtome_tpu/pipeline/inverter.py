@@ -61,6 +61,16 @@ class Inverter:
         self.cache_schedule = inv.get("cache_schedule") or None
         self.cache_reverse = bool(inv.get("cache_reverse", False))
         self.cache_on = bool(self.cache_interval or self.cache_schedule)
+        # Eps-reuse step skip (same third serving cache as generation,
+        # pipeline/generator.py): steps whose eps mask is False run no
+        # UNet — the DDIM (inverse) update reuses the last computed eps,
+        # optionally linearly extrapolated from the last two refreshes.
+        # Schedule specs follow the same DIRECTION NOTE as above
+        # (inversion step order; ``cache_reverse`` flips this mask too).
+        self.eps_interval = int(inv.get("eps_interval", 0) or 0)
+        self.eps_schedule = inv.get("eps_schedule") or None
+        self.eps_on = bool(self.eps_interval or self.eps_schedule)
+        self.eps_extrapolate = bool(inv.get("eps_extrapolate", False))
         self.n_frames = inv.get("n_frames", None)
         self.force = bool(inv.get("force", False))
         self.recon = bool(inv.get("recon", False))
@@ -182,10 +192,11 @@ class Inverter:
         # unchanged, and the copy a full step saves is ~0.2ms — not worth
         # an aliasing pattern this path can't re-verify on TPU today
         @functools.partial(jax.jit,
-                           static_argnames=("inversion", "cache_mode"),
+                           static_argnames=("inversion", "cache_mode",
+                                            "keep_eps"),
                            donate_argnums=(1,))
         def full_step(params, x, tables, step_i, inversion, conds, depth,
-                      control, deep, cache_mode="off"):
+                      control, deep, cache_mode="off", keep_eps=False):
             """One DDIM timestep over ALL frames: lax.scan over fixed-size
             frame micro-batches (one dispatch per timestep; per-frame work
             is independent, reference invert.py:122-131).
@@ -227,10 +238,28 @@ class Inverter:
             a = tables["inv_a"][step_i] if inversion else \
                 tables["smp_a"][step_i]
             fn = ddim_inverse_step if inversion else ddim_step
-            return fn(x, eps, a[0], a[1]).astype(x.dtype), deep
+            x_next = fn(x, eps, a[0], a[1]).astype(x.dtype)
+            if keep_eps:
+                # eps-reuse skip steps need the raw eps (fp32 for the
+                # extrapolation subtraction)
+                return x_next, deep, eps.astype(jnp.float32)
+            return x_next, deep
+
+        @functools.partial(jax.jit, static_argnames=("inversion",),
+                           donate_argnums=(0,))
+        def skip_step(x, eps, eps_prev, factor, tables, step_i, inversion):
+            """Eps-reuse step: no UNet — the DDIM (inverse) update runs on
+            the cached eps, extrapolated by ``factor`` along the last
+            refresh-to-refresh slope (factor 0 = plain reuse)."""
+            e = eps + factor * (eps - eps_prev)
+            a = tables["inv_a"][step_i] if inversion else \
+                tables["smp_a"][step_i]
+            fn = ddim_inverse_step if inversion else ddim_step
+            return fn(x, e, a[0], a[1]).astype(x.dtype)
 
         self._eps = jax.jit(eps_fn)
         self._full_step = full_step
+        self._skip_step = skip_step
 
     # ------------------------------------------------------------------
 
@@ -255,12 +284,12 @@ class Inverter:
         conds_p = self._pad_frames(conds, n_p)
         depth_p = self._pad_frames(depth, n_p)
         control_p = self._pad_frames(control, n_p)
+        n_steps = self.scheduler.num_steps
         if self.cache_on:
             from vidtome_tpu.pipeline.generator import refresh_mask
 
             mask = refresh_mask(self.cache_schedule,
-                                self.cache_interval or 1,
-                                self.scheduler.num_steps)
+                                self.cache_interval or 1, n_steps)
             if self.cache_reverse and inversion:
                 mask = mask[::-1]
             ch = self.bundle.unet_config.block_out_channels[1]
@@ -268,13 +297,57 @@ class Inverter:
         else:
             mask = None
             deep = jnp.zeros((), x.dtype)
-        for i in range(self.scheduler.num_steps):
+        if self.eps_on:
+            from vidtome_tpu.pipeline.generator import refresh_mask
+
+            eps_mask = refresh_mask(self.eps_schedule,
+                                    self.eps_interval or 1, n_steps)
+            if self.cache_reverse and inversion:
+                eps_mask = eps_mask[::-1]
+            if mask is not None:
+                # a skipped step cannot refresh the deep cache — force
+                # the eps-run mask over the deep refresh steps (same
+                # auto-align policy as generation)
+                forced = int((mask & ~eps_mask).sum())
+                if forced:
+                    print(f"[WARNING] {forced} deep-cache refresh steps "
+                          "fall on eps-skip steps; running the UNet there "
+                          "(eps-run mask auto-aligned upward).")
+                    eps_mask = eps_mask | mask
+            if not eps_mask[0]:
+                raise ValueError("inversion eps schedule must run the "
+                                 "first step: the eps cache starts empty")
+        else:
+            eps_mask = None
+        eps = eps_prev = None
+        s_last, s_prev = -1, -1
+        for i in range(n_steps):
+            if eps_mask is not None and not eps_mask[i]:
+                # eps-reuse skip: no UNet dispatch at all this step
+                factor = ((i - s_last) / max(s_last - s_prev, 1)
+                          if self.eps_extrapolate and s_prev >= 0 else 0.0)
+                x = self._skip_step(x, eps, eps if eps_prev is None
+                                    else eps_prev,
+                                    jnp.asarray(factor, jnp.float32),
+                                    self._tables, jnp.asarray(i, jnp.int32),
+                                    inversion)
+                if on_step is not None:
+                    on_step(i, x)
+                continue
             mode = ("off" if mask is None
                     else ("full" if mask[i] else "shallow"))
-            x, deep = self._full_step(self._params, x, self._tables,
-                                      jnp.asarray(i, jnp.int32), inversion,
-                                      conds_p, depth_p, control_p, deep,
-                                      cache_mode=mode)
+            out = self._full_step(self._params, x, self._tables,
+                                  jnp.asarray(i, jnp.int32), inversion,
+                                  conds_p, depth_p, control_p, deep,
+                                  cache_mode=mode,
+                                  keep_eps=self.eps_on)
+            if self.eps_on:
+                x, deep, eps_new = out
+                eps_prev, eps = (eps if eps is not None else eps_new), \
+                    eps_new
+                s_prev, s_last = (s_last if s_last >= 0 else i), i
+            else:
+                x, deep = out
             if on_step is not None:
                 # hand the padded buffer to the hook; it slices [:n] only
                 # when it actually saves (an unconditional x[:n] here would
