@@ -108,6 +108,11 @@ SERVE_PROFILES = {
                    eps_schedule="full:6,uniform:2", eps_extrapolate=True,
                    local_merge_ratio=0.95, global_merge_ratio=0.9,
                    resnet_mode="fused"),
+    "maxe2d": dict(quant="int8", cache_schedule="full:6,uniform:16",
+                   cfg_schedule="full:6,uniform:8",
+                   eps_schedule="full:6,uniform:2", eps_extrapolate=True,
+                   local_merge_ratio=0.95, global_merge_ratio=0.9,
+                   resnet_mode="fused"),
     "maxe3": dict(quant="int8", cache_schedule="full:6,uniform:12",
                   cfg_schedule="full:6,uniform:6",
                   eps_schedule="full:6,uniform:3",
@@ -232,7 +237,7 @@ def main():
                              "sharding validation; wall-clock is NOT a "
                              "TPU number) — on a real v5e-8 the same "
                              "command benchmarks actual scaling.")
-    parser.add_argument("--serve-profile", default="max",
+    parser.add_argument("--serve-profile", default="maxe2x",
                         choices=sorted(SERVE_PROFILES),
                         help="which quality-gated serving profile the "
                              "serve sidecar measures (deep-cache/CFG-cache "

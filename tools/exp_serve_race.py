@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--profiles", default="w42,w82,w82_m95,max")
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--skip-inv", action="store_true")
+    ap.add_argument("--inv-profiles",
+                    default="bf16,int8,cache_w3,int8_fused",
+                    help="comma list: 'bf16' or names from "
+                         "bench.INV_SERVE_PROFILES")
     args = ap.parse_args()
 
     import bench
@@ -100,17 +104,18 @@ def main():
                   file=sys.stderr)
 
     if not args.skip_inv:
-        # inversion int8 lever (the gated inversion serving profile)
         from vidtome_tpu.pipeline.inverter import Inverter
 
-        # the two individually-gated inversion levers (int8 37.34 dB,
-        # cache_w3 35.91 dB; their combination missed the bar at 34.98)
-        for label, over in (("inv_bf16", {}),
-                            ("inv_int8", {"quant": "int8"}),
-                            ("inv_cache_w3",
-                             {"cache_schedule": "full:6,uniform:3"}),
-                            ("inv_int8_fused",
-                             {"quant": "int8", "resnet_mode": "fused"})):
+        # --inv-profiles names resolve through bench.INV_SERVE_PROFILES
+        # (the gated serving dials); "bf16" is the exact reference row
+        todo = []
+        for name in args.inv_profiles.split(","):
+            if name == "bf16":
+                todo.append(("inv_bf16", {}))
+            else:
+                todo.append((f"inv_{name}",
+                             bench.INV_SERVE_PROFILES[name][0]))
+        for label, over in todo:
             icfg = Config(cfg.to_dict())
             icfg["inversion"] = dict({
                 "save_path": "/tmp/bench/latents", "prompt": "benchmark",

@@ -179,6 +179,18 @@ GATES = {
                           "local_merge_ratio": 0.95,
                           "global_merge_ratio": 0.9,
                           "resnet_mode": "fused"}),
+    # eps-2x skip, but deep/cfg cadences doubled on the surviving run
+    # steps (deep {6,22,38} ⊆ cfg {6,14,22,30,38,46} ⊆ eps-run evens):
+    # spends maxe2x's 1.76 dB gate margin on shallower run steps instead
+    # of more skipped steps (maxe3's route, which missed at 34.6)
+    "serve_maxe2d": ({}, {"quant": "int8",
+                          "cache_schedule": "full:6,uniform:16",
+                          "cfg_schedule": "full:6,uniform:8",
+                          "eps_schedule": "full:6,uniform:2",
+                          "eps_extrapolate": True,
+                          "local_merge_ratio": 0.95,
+                          "global_merge_ratio": 0.9,
+                          "resnet_mode": "fused"}),
     "serve_maxe3": ({}, {"quant": "int8",
                          "cache_schedule": "full:6,uniform:12",
                          "cfg_schedule": "full:6,uniform:6",
