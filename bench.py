@@ -113,6 +113,11 @@ SERVE_PROFILES = {
                    eps_schedule="full:6,uniform:2", eps_extrapolate=True,
                    local_merge_ratio=0.95, global_merge_ratio=0.9,
                    resnet_mode="fused"),
+    "maxe36": dict(quant="int8", cache_schedule="full:6,uniform:6",
+                   cfg_schedule="full:6,uniform:6",
+                   eps_schedule="full:6,uniform:3", eps_extrapolate=True,
+                   local_merge_ratio=0.95, global_merge_ratio=0.9,
+                   resnet_mode="fused"),
     "maxe3": dict(quant="int8", cache_schedule="full:6,uniform:12",
                   cfg_schedule="full:6,uniform:6",
                   eps_schedule="full:6,uniform:3",
@@ -146,6 +151,14 @@ INV_SERVE_PROFILES = {
                      eps_extrapolate=True), "inv_eps_w2x"),
     "eps_w3x": (dict(eps_schedule="full:6,uniform:3",
                      eps_extrapolate=True), "inv_eps_w3x"),
+    "eps_w2f12": (dict(eps_schedule="full:12,uniform:2",
+                       eps_extrapolate=True), "inv_eps_w2f12"),
+    "eps_w2f12n": (dict(eps_schedule="full:12,uniform:2"),
+                   "inv_eps_w2f12n"),
+    "eps_w2f16n": (dict(eps_schedule="full:16,uniform:2"),
+                   "inv_eps_w2f16n"),
+    "eps_w4x": (dict(eps_schedule="full:6,uniform:4",
+                     eps_extrapolate=True), "inv_eps_w4x"),
     # interleaved: deep-shallow on half the run steps, eps-skip the odds
     "cache_w6_eps_w2": (dict(cache_schedule="full:6,uniform:6",
                              eps_schedule="full:6,uniform:2"),

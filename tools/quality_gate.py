@@ -191,6 +191,17 @@ GATES = {
                           "local_merge_ratio": 0.95,
                           "global_merge_ratio": 0.9,
                           "resnet_mode": "fused"}),
+    # eps-3x but with maxe2x-density deep/cfg caching on the surviving
+    # run steps (deep/cfg uniform:6 aligns with the eps-3 run set {6+3k};
+    # maxe3x's failure may have been its w12/w6 cadences, not eps-3)
+    "serve_maxe36": ({}, {"quant": "int8",
+                          "cache_schedule": "full:6,uniform:6",
+                          "cfg_schedule": "full:6,uniform:6",
+                          "eps_schedule": "full:6,uniform:3",
+                          "eps_extrapolate": True,
+                          "local_merge_ratio": 0.95,
+                          "global_merge_ratio": 0.9,
+                          "resnet_mode": "fused"}),
     "serve_maxe3": ({}, {"quant": "int8",
                          "cache_schedule": "full:6,uniform:12",
                          "cfg_schedule": "full:6,uniform:6",
@@ -245,6 +256,21 @@ INV_GATES = {
     # UNet; specs in inversion step order — see pipeline/inverter.py)
     "inv_eps_w2": ({}, {"eps_schedule": "full:6,uniform:2"}),
     "inv_eps_w2x": ({}, {"eps_schedule": "full:6,uniform:2",
+                         "eps_extrapolate": True}),
+    # inv_eps_w2x measured 34.75 dB / inv_eps_w2 34.97 dB on TPU —
+    # extrapolation HURTS in inversion (the linear slope assumes the
+    # generation-direction trajectory), and the plain hold sits 0.03 dB
+    # under the bar.  Deepen the full prefix like inv_int8_w3f12's probe,
+    # extrapolation off:
+    "inv_eps_w2f12": ({}, {"eps_schedule": "full:12,uniform:2",
+                           "eps_extrapolate": True}),
+    "inv_eps_w2f12n": ({}, {"eps_schedule": "full:12,uniform:2"}),
+    "inv_eps_w2f16n": ({}, {"eps_schedule": "full:16,uniform:2"}),
+    # inv_eps_w3x measured 35.25 dB on TPU — every-3 WITH extrapolation
+    # clears while every-2 misses either way (the hold error at w2's
+    # phase lands worse than the extrapolated w3 trajectory).  Probe one
+    # deeper cadence:
+    "inv_eps_w4x": ({}, {"eps_schedule": "full:6,uniform:4",
                          "eps_extrapolate": True}),
     "inv_eps_w3x": ({}, {"eps_schedule": "full:6,uniform:3",
                          "eps_extrapolate": True}),
