@@ -118,6 +118,11 @@ SERVE_PROFILES = {
                    eps_schedule="full:6,uniform:3", eps_extrapolate=True,
                    local_merge_ratio=0.95, global_merge_ratio=0.9,
                    resnet_mode="fused"),
+    "maxe48": dict(quant="int8", cache_schedule="full:6,uniform:8",
+                   cfg_schedule="full:6,uniform:4",
+                   eps_schedule="full:6,uniform:4", eps_extrapolate=True,
+                   local_merge_ratio=0.95, global_merge_ratio=0.9,
+                   resnet_mode="fused"),
     "maxe3": dict(quant="int8", cache_schedule="full:6,uniform:12",
                   cfg_schedule="full:6,uniform:6",
                   eps_schedule="full:6,uniform:3",

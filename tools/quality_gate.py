@@ -202,6 +202,16 @@ GATES = {
                           "local_merge_ratio": 0.95,
                           "global_merge_ratio": 0.9,
                           "resnet_mode": "fused"}),
+    # maxe36 measured 36.4 dB — eps-3 was never the problem; probe eps-4
+    # with the same per-run-step density (deep w8 ⊆ cfg w4 ⊆ eps-run 4)
+    "serve_maxe48": ({}, {"quant": "int8",
+                          "cache_schedule": "full:6,uniform:8",
+                          "cfg_schedule": "full:6,uniform:4",
+                          "eps_schedule": "full:6,uniform:4",
+                          "eps_extrapolate": True,
+                          "local_merge_ratio": 0.95,
+                          "global_merge_ratio": 0.9,
+                          "resnet_mode": "fused"}),
     "serve_maxe3": ({}, {"quant": "int8",
                          "cache_schedule": "full:6,uniform:12",
                          "cfg_schedule": "full:6,uniform:6",
