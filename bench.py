@@ -863,22 +863,28 @@ def _measure_pnp_fps(bundle, args, latent):
     src = jnp.broadcast_to(x, (steps,) + x.shape)
     zero = jnp.zeros((), bundle.dtype)
     gs = jnp.asarray(7.5, jnp.float32)
-    n_chunks = x.shape[0] // 4
-    fidx = jnp.broadcast_to(
-        jnp.arange(x.shape[0], dtype=jnp.int32).reshape(n_chunks, 4),
-        (steps, n_chunks, 4))
+    # identity chunk schedule in the production 4-D (gather, scatter)
+    # layout — same construction as Generator.warmup
+    n_chunks = x.shape[0] // gen.chunk_size
+    fidx = jnp.arange(x.shape[0], dtype=jnp.int32).reshape(
+        n_chunks, gen.chunk_size)
+    fidx = jnp.broadcast_to(jnp.stack([fidx, fidx], axis=-1),
+                            (steps, n_chunks, gen.chunk_size, 2))
     block = gen._block_size()
+    # up to two blocks, clamped to the schedule (tiny smoke runs may have
+    # steps == block)
+    starts = list(range(0, min(2 * block, steps), block))
     t0 = _time.time()
     y = jnp.copy(x)
     deep = gen._cache_buffers(y)
-    for s in (0, block):
+    for s in starts:
         y, deep = gen._sample_block(gen._params, y, deep,
                                     jnp.asarray(s, jnp.int32),
                                     gen._mode_masks(),
                                     fidx, context, src, zero, zero, gs,
                                     n_steps=block)
     _ = float(jnp.sum(y))
-    ms = (_time.time() - t0) / (2 * block) * 1e3
+    ms = (_time.time() - t0) / (len(starts) * block) * 1e3
     fps = args.frames / (ms / 1e3 * args.steps)
     print(f"[bench] pnp sample {ms:.0f}ms/step -> {fps:.3f} frames/s",
           file=sys.stderr)

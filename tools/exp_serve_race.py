@@ -108,13 +108,16 @@ def main():
 
         # --inv-profiles names resolve through bench.INV_SERVE_PROFILES
         # (the gated serving dials); "bf16" is the exact reference row
-        todo = []
-        for name in args.inv_profiles.split(","):
-            if name == "bf16":
-                todo.append(("inv_bf16", {}))
-            else:
-                todo.append((f"inv_{name}",
-                             bench.INV_SERVE_PROFILES[name][0]))
+        names = [n.strip() for n in args.inv_profiles.split(",")
+                 if n.strip()]
+        unknown = [n for n in names
+                   if n != "bf16" and n not in bench.INV_SERVE_PROFILES]
+        if unknown:
+            ap.error(f"unknown --inv-profiles {unknown}; choices: bf16, "
+                     + ", ".join(sorted(bench.INV_SERVE_PROFILES)))
+        todo = [("inv_bf16", {}) if name == "bf16"
+                else (f"inv_{name}", bench.INV_SERVE_PROFILES[name][0])
+                for name in names]
         for label, over in todo:
             icfg = Config(cfg.to_dict())
             icfg["inversion"] = dict({

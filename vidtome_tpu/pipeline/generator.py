@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +41,7 @@ from vidtome_tpu.control.preprocess import control_preprocess
 
 
 def refresh_mask(spec: str | None, interval: int, num_steps: int,
-                 start: int = 0) -> np.ndarray:
+                 start: int = 0, kind: str = "cache") -> np.ndarray:
     """Boolean refresh mask [num_steps] for a step cache.
 
     ``spec`` (wins over ``interval``) is a comma-separated list of
@@ -84,9 +85,13 @@ def refresh_mask(spec: str | None, interval: int, num_steps: int,
         for j in range(start, num_steps):
             mask[j] = (j - start) % interval == 0
     if start < num_steps and not mask[start]:
-        raise ValueError(
-            f"cache schedule {spec!r} must refresh on its first step "
-            f"(step {start}): the cache starts empty")
+        # "eps" masks mean 'run the UNet', not 'refresh a cache' — word
+        # the error accordingly so schedule specs are debuggable
+        what = ("eps schedule must run the UNet on its first step"
+                if kind == "eps"
+                else f"{kind} schedule must refresh on its first step")
+        raise ValueError(f"{what} (step {start}, spec {spec!r}): "
+                         "the cache starts empty")
     return mask
 
 
@@ -709,11 +714,11 @@ class Generator:
             return jnp.zeros((), jnp.int32)
         n = self.scheduler.num_steps
         deep = refresh_mask(self.cache_schedule, self.cache_interval or 1,
-                            n, start)
+                            n, start, kind="cache")
         cfgm = refresh_mask(self.cfg_schedule, self.cfg_interval or 1,
-                            n, start)
+                            n, start, kind="cfg")
         epsm = refresh_mask(self.eps_schedule, self.eps_interval or 1,
-                            n, start)
+                            n, start, kind="eps")
         if self.eps_on:
             # a skipped step cannot refresh the other caches: force the
             # eps-run mask over every ACTIVE cache's refresh steps (same
@@ -726,9 +731,15 @@ class Generator:
                 align |= cfgm
             forced = int((align[start:] & ~epsm[start:]).sum())
             if forced:
-                print(f"[WARNING] {forced} deep/CFG cache refresh steps "
-                      "fall on eps-skip steps; those steps now run the "
-                      "UNet (eps-run mask auto-aligned upward).")
+                # once per Generator (warmup + every sample/refiner start
+                # rebuilds the masks) and on stderr, away from the JSON
+                # artifacts on stdout
+                if not getattr(self, "_eps_align_warned", False):
+                    print(f"[WARNING] {forced} deep/CFG cache refresh "
+                          "steps fall on eps-skip steps; those steps now "
+                          "run the UNet (eps-run mask auto-aligned "
+                          "upward).", file=sys.stderr)
+                    self._eps_align_warned = True
                 epsm = epsm | align
         if self.cache_on and self.cfg_on:
             # The uncond lane's deep-cache slice only refreshes on steps
