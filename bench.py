@@ -73,6 +73,12 @@ import time
 A100_BASELINE_FPS = 1.8          # analytic; sensitivity 1.3 - 2.3 (docstring)
 V5E_BF16_PEAK = 197e12
 
+# The shipped serving frontier (configs/serve.yaml mirrors these —
+# tests/test_serve_config.py asserts the YAML, these defaults, and the
+# gate artifacts agree).
+DEFAULT_SERVE_PROFILE = "maxe2x"
+DEFAULT_INV_SERVE_PROFILE = "cache_w3"
+
 # Serving profiles the serve sidecar can measure (--serve-profile).  Each
 # must have a measured gates/serve_<name>.json clearing 35 dB before it
 # ships as the headline; definitions mirror tools/quality_gate.py.
@@ -255,14 +261,15 @@ def main():
                              "sharding validation; wall-clock is NOT a "
                              "TPU number) — on a real v5e-8 the same "
                              "command benchmarks actual scaling.")
-    parser.add_argument("--serve-profile", default="maxe2x",
+    parser.add_argument("--serve-profile", default=DEFAULT_SERVE_PROFILE,
                         choices=sorted(SERVE_PROFILES),
                         help="which quality-gated serving profile the "
                              "serve sidecar measures (deep-cache/CFG-cache "
                              "schedule depth + optional merge-ratio push; "
                              "gates/serve_<profile>.json must clear 35 dB "
                              "before one becomes the headline)")
-    parser.add_argument("--inv-serve-profile", default="cache_w3",
+    parser.add_argument("--inv-serve-profile",
+                        default=DEFAULT_INV_SERVE_PROFILE,
                         choices=sorted(INV_SERVE_PROFILES),
                         help="which quality-gated inversion serving "
                              "profile the inversion serve sidecar "
@@ -362,10 +369,15 @@ def main():
         gen.latents_dir = ldir
         gen.frame_ids = list(range(args.frames))
 
-    # Warmup: compile both bank variants + ddim + decode.
+    # Warmup: compile both bank variants + ddim + decode.  The decode
+    # warm runs at the FULL frame count so the timed region is
+    # compile-free: the [frames]-shaped batch concat + checksum-sum
+    # executables otherwise compile inside the timing (round-4's
+    # "decode 10.69s" was ~90% that compile — isolated warm decode of 32
+    # frames measures 0.99s, perf/decode_profile_r5.json).
     t0 = time.time()
     gen.warmup(latents, context)
-    _ = float(jnp.sum(gen.vae.decode(latents[:4])))
+    _ = float(jnp.sum(gen.vae.decode(latents[: args.frames])))
     print(f"[bench] warmup/compile in {time.time() - t0:.1f}s",
           file=sys.stderr)
 
@@ -600,6 +612,23 @@ def main():
                                            args.cache > 0)) if on]
                          ) or (f"serve_{args.serve_profile}"
                                if serve_fps is not None else "exact"),
+        # scope tags: what each fps key's wall time includes (VERDICT r4
+        # item 6 — cross-round comparisons need this to be explicit)
+        "scopes": {
+            "value/serve_fps/int8_fps":
+                "generation sample loop + VAE decode (no inversion, no "
+                "disk saves)",
+            "exact_fps": "generation sample loop + VAE decode",
+            "inversion_fps/inv_serve_fps":
+                "inversion DDIM loop only, from pre-encoded latents (no "
+                "VAE encode, no per-step latent saves)",
+            "end_to_end_fps":
+                "exact inversion loop + exact generation loop + decode",
+            "serve_end_to_end_fps":
+                "gated inversion loop + gated generation loop + decode",
+            "pnp_fps": "PnP sample loop only (decode excluded; identical "
+                       "to the default mode's, reported there)",
+        },
     }
     if pnp_fps is not None:
         # the sidecar inherits --int8/--ldm, so suffix the mode into the
@@ -802,6 +831,9 @@ def _measure_mode_fps(bundle, args, latents, context, label,
     gen.control_images = None
     t0 = time.time()
     gen.warmup(latents, context)
+    # decode warm at full frame count: keeps the timed region compile-free
+    # even when this helper runs in a fresh process (see main()'s warmup)
+    _ = float(jnp.sum(gen.vae.decode(latents[: args.frames])))
     print(f"[bench] {label} warmup/compile in {time.time() - t0:.1f}s",
           file=sys.stderr)
     t0 = time.time()

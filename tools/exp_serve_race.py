@@ -82,6 +82,9 @@ def main():
         gen0.control_images = None
         t0 = time.time()
         gen0.warmup(latents, context)
+        # decode warm at full frame count — the round-4 exact row was
+        # compile-contaminated (perf/serve_race_r4.json note)
+        _ = float(jnp.sum(gen0.vae.decode(latents[: args.frames])))
         print(f"[race] exact warmup {time.time() - t0:.1f}s",
               file=sys.stderr)
         t0 = time.time()

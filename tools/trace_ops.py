@@ -100,8 +100,23 @@ def main():
                       if a.startswith("--cfg-schedule=")), None)
     resnet_mode = next((a.split("=", 1)[1] for a in sys.argv
                         if a.startswith("--resnet=")), "off")
+    # --profile=maxe2x etc: trace a full bench.SERVE_PROFILES entry
+    # (int8 + deep/CFG/eps schedules + ratios) — the device time of the
+    # serve loop, per step averaged over one block
+    profile = next((a.split("=", 1)[1] for a in sys.argv
+                    if a.startswith("--profile=")), None)
     frames, steps, size = 32, 50, 512
     latent = size // 8
+    gene_extra = {}
+    if profile:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        gene_extra = dict(bench.SERVE_PROFILES[profile])
     bundle = init_model(sd_version="1.5", weight_dtype="bf16")
     cfg = Config({
         "sd_version": "1.5", "height": size, "width": size,
@@ -120,6 +135,7 @@ def main():
             "cache_interval": cache, "cfg_interval": cfg_iv,
             "cache_schedule": cache_sched, "cfg_schedule": cfg_sched,
             "resnet_mode": resnet_mode,
+            **gene_extra,
         },
     })
     gen = Generator(bundle, cfg)
@@ -148,6 +164,9 @@ def main():
     deep = gen._cache_buffers(x)
     zero_i = jnp.asarray(0, jnp.int32)
     modes = gen._mode_masks()
+    # warm block 0 (schedule warmup steps), then trace block 1 — the
+    # STEADY-STATE cadence region for schedule-driven serve profiles
+    # (block 0 is all-full under "full:6,..." specs and would overstate)
     x, deep = gen._sample_block(gen._params, x, deep, zero_i, modes,
                                 fidx_table, context, zero, zero, zero, gs,
                                 n_steps=block)
@@ -156,7 +175,8 @@ def main():
     trace_dir = "/tmp/trace_ops"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
-        x, deep = gen._sample_block(gen._params, x, deep, zero_i, modes,
+        x, deep = gen._sample_block(gen._params, x, deep,
+                                    jnp.asarray(block, jnp.int32), modes,
                                     fidx_table, context, zero, zero, zero,
                                     gs, n_steps=block)
         _ = float(jnp.sum(x))

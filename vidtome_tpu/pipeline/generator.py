@@ -247,7 +247,9 @@ class Generator:
             apply_lora_bundle(bundle, gene.get("lora", {}))
 
         self.text = TextEncoder(bundle)
-        self.vae = VAECoder(bundle, batch_size=int(gene.get("batch_size", 4)))
+        # decode batching: 8 measured 22ms/frame vs 31 at 4 on v5e 512p
+        # (perf/decode_profile_r5.json batch sweep)
+        self.vae = VAECoder(bundle, batch_size=int(gene.get("batch_size", 8)))
 
         # Fused Pallas resnet-block dispatch (ops/resnet.py, DESIGN §8.4):
         # "off" (XLA path) or "fused"; a config dial like quant/cache_*.
