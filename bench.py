@@ -139,6 +139,28 @@ SERVE_PROFILES = {
                    eps_schedule="full:6,uniform:3", eps_extrapolate=True,
                    local_merge_ratio=0.95, global_merge_ratio=0.9,
                    resnet_mode="fused"),
+    # bf16 frontier (round 5): int8 measured ~zero loop speedup on this
+    # workload (int8 exact 22.8s vs bf16 22.94s, BENCH_r04; the loop is
+    # bandwidth/structure-bound, not MXU-bound) while costing fidelity
+    # headroom — dropping it buys dB budget to spend on DEEPER step
+    # schedules, which the per-step-kind decomposition
+    # (perf/stepkinds_r5.json) shows is where the wall actually is
+    # (full steps 423ms vs eps-skip 4.5ms).
+    "maxe2xb": dict(cache_schedule="full:6,uniform:8",
+                    cfg_schedule="full:6,uniform:4",
+                    eps_schedule="full:6,uniform:2", eps_extrapolate=True,
+                    local_merge_ratio=0.95, global_merge_ratio=0.9,
+                    resnet_mode="fused"),
+    "maxe36b": dict(cache_schedule="full:6,uniform:6",
+                    cfg_schedule="full:6,uniform:6",
+                    eps_schedule="full:6,uniform:3", eps_extrapolate=True,
+                    local_merge_ratio=0.95, global_merge_ratio=0.9,
+                    resnet_mode="fused"),
+    "maxe3xb": dict(cache_schedule="full:6,uniform:12",
+                    cfg_schedule="full:6,uniform:6",
+                    eps_schedule="full:6,uniform:3", eps_extrapolate=True,
+                    local_merge_ratio=0.95, global_merge_ratio=0.9,
+                    resnet_mode="fused"),
 }
 
 # Inversion-side serving profiles (--inv-serve-profile).  Same artifact

@@ -101,7 +101,7 @@ def test_serve_profiles_schema(bench):
                "eps_interval", "cache_interval", "cfg_interval",
                "eps_extrapolate", "local_merge_ratio",
                "global_merge_ratio", "resnet_mode", "chunk_boundaries",
-               "len_quantum", "vae_mode"}
+               "len_quantum", "vae_mode", "steps_per_block"}
     for name, prof in bench.SERVE_PROFILES.items():
         unknown = set(prof) - allowed
         assert not unknown, f"profile {name}: unknown keys {unknown}"

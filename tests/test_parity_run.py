@@ -90,3 +90,32 @@ def test_run_parity_profile_check(parity, tmp_path):
         check_profiles=("int8",))
     assert np.isfinite(record["profile_int8_psnr_db"])
     assert isinstance(record["profile_int8_gate_35db"], bool)
+
+
+def test_run_parity_headline_serve_profile(parity, tmp_path):
+    """--check-serve resolves to the SHIPPED headline profile (eps-skip
+    included — the most proxy-sensitive lever) and runs end to end on the
+    tiny checkpoint, so real weights can revalidate it in one command."""
+    import importlib.util
+
+    from tests.test_convert_golden import (build_tiny_unet_state,
+                                           build_tiny_vae_state)
+    from vidtome_tpu.models import convert
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(_ROOT, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    headline = f"serve_{bench.DEFAULT_SERVE_PROFILE}"
+
+    bundle = make_tiny_bundle()
+    bundle.unet_params = convert.convert_unet(dict(build_tiny_unet_state()))
+    bundle.vae_params = convert.convert_vae(dict(build_tiny_vae_state()))
+    bundle.vae_channels = ((8, 8), 1)
+
+    clip = make_tiny_video(str(tmp_path / "clip"), n_frames=4, size=64)
+    record = parity.run_parity(
+        bundle, str(tmp_path / "work"), clip, frames=4, steps=4, size=64,
+        edit_prompt="an oil painting", inv_prompt="a colorful gradient",
+        check_profiles=(headline,))
+    assert np.isfinite(record[f"profile_{headline}_psnr_db"])

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--profiles", default="w42,w82,w82_m95,max")
+    ap.add_argument("--block", type=int, default=0,
+                    help="steps_per_block override injected into every "
+                         "raced profile (0 = Generator default of 10); "
+                         "numerics-neutral — no gate needed")
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--skip-inv", action="store_true")
     ap.add_argument("--inv-profiles",
@@ -97,11 +101,14 @@ def main():
 
     for name in args.profiles.split(","):
         try:
+            over = dict(bench.SERVE_PROFILES[name])
+            if args.block:
+                over["steps_per_block"] = args.block
             fps = bench._measure_mode_fps(
-                bundle, margs, latents, context, f"serve_{name}",
-                **bench.SERVE_PROFILES[name])
+                bundle, margs, latents, context, f"serve_{name}", **over)
             results[name] = fps
-            print(json.dumps({"profile": name, "fps": round(fps, 4)}))
+            print(json.dumps({"profile": name, "fps": round(fps, 4),
+                              "steps_per_block": args.block or 10}))
         except Exception as e:
             print(f"[race] {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -136,17 +143,24 @@ def main():
                 jax.random.key(5), (args.frames, latent, latent, 4),
                 jnp.bfloat16)
             # warm run compiles every executable the mode needs (full +
-            # shallow cache phases etc.); the second run is the timing
+            # shallow cache phases etc.); the second run is the timing.
+            # The warm run's wall is also recorded: bench.py times the
+            # FIRST _run after a single-step warm, and r4 saw a 1.39-vs-
+            # 2.64 f/s bench/race discrepancy — first_run_fps vs fps here
+            # quantifies how much of that is first-run effects.
+            t0 = time.time()
             warm = inv._run(jnp.copy(lat0), conds, None, None,
                             inversion=True)
             _ = float(jnp.sum(warm))
+            first = args.frames / (time.time() - t0)
             t0 = time.time()
             out = inv._run(jnp.copy(lat0), conds, None, None,
                            inversion=True)
             _ = float(jnp.sum(out))
             results[label] = args.frames / (time.time() - t0)
             print(json.dumps({"profile": label,
-                              "fps": round(results[label], 4)}))
+                              "fps": round(results[label], 4),
+                              "first_run_fps": round(first, 4)}))
 
     order = sorted((k for k in results if not k.startswith("inv")),
                    key=lambda k: -results[k])

@@ -31,6 +31,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _bench():
+    """Load bench.py as a module (repo root is not a package)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _ensure_clip(path: str | None, work: str, n_frames: int,
                  size: int) -> str:
     """Return a clip path, synthesizing the demo gradient clip if the
@@ -133,12 +146,14 @@ def run_parity(bundle, work: str, clip: str, *, frames: int = 16,
     # the SAME edit under each serving profile and report PSNR against
     # the exact bf16 output — the direct real-weights validation of the
     # quant/cache dials (ADVICE r3: validate before defaulting int8).
-    _PROFILES = {
-        "int8": {"quant": "int8"},
-        "serve_w42": {"quant": "int8",
-                      "cache_schedule": "full:6,uniform:4",
-                      "cfg_schedule": "full:6,uniform:2"},
-    }
+    # single source of truth: the bench serving-profile table (plus the
+    # plain int8 lever).  --check-serve resolves to the SHIPPED headline
+    # profile (bench.DEFAULT_SERVE_PROFILE) so the day real weights land,
+    # the eps-skip serving frontier — the most proxy-sensitive lever —
+    # revalidates in one command (VERDICT r4 item 8).
+    _PROFILES = {"int8": {"quant": "int8"}}
+    _PROFILES.update({f"serve_{k}": dict(v)
+                      for k, v in _bench().SERVE_PROFILES.items()})
     if check_profiles:
         # profiles run control: none (the deep cache fails fast under PnP
         # by design — shallow steps would skip the up-block-1 injections),
@@ -197,8 +212,13 @@ def main():
                          "the exact bf16 output (real-weights validation "
                          "of the W8A8 dial)")
     ap.add_argument("--check-serve", action="store_true",
-                    help="same for the full serve_w42 profile "
-                         "(int8 + deep cache + CFG delta cache)")
+                    help="same for the SHIPPED headline serving profile "
+                         "(bench.DEFAULT_SERVE_PROFILE — deep/CFG/eps "
+                         "caches + ratio push), the most proxy-sensitive "
+                         "lever stack")
+    ap.add_argument("--check-profile", default=None,
+                    help="additionally validate a named "
+                         "bench.SERVE_PROFILES entry")
     args = ap.parse_args()
 
     from vidtome_tpu.models.checkpoint import save_bundle
@@ -212,8 +232,13 @@ def main():
         print(f"[parity] native orbax bundle written to {native}")
 
     clip = _ensure_clip(args.clip, args.work, args.frames, args.size)
-    profiles = tuple(p for p, on in (("int8", args.check_int8),
-                                     ("serve_w42", args.check_serve)) if on)
+    extra = args.check_profile
+    if extra and not extra.startswith(("int8", "serve_")):
+        extra = f"serve_{extra}"  # accept bare SERVE_PROFILES names
+    profiles = tuple(p for p, on in (
+        ("int8", args.check_int8),
+        (f"serve_{_bench().DEFAULT_SERVE_PROFILE}", args.check_serve),
+        (extra, extra)) if on)
     record = run_parity(bundle, args.work, clip, frames=args.frames,
                         steps=args.steps, size=args.size,
                         edit_prompt=args.edit_prompt,

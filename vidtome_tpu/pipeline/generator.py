@@ -671,9 +671,20 @@ class Generator:
     def _block_size(self) -> int:
         """Steps per device dispatch: largest small divisor of num_steps so
         one executable covers the whole schedule (progress still prints
-        between blocks)."""
+        between blocks).  ``generation.steps_per_block`` overrides (it
+        must divide n_timesteps): each block boundary costs a host
+        round-trip, so serving configs can trade progress granularity for
+        wall time."""
+        override = int(self.gene.get("steps_per_block", 0) or 0)
+        n = self.scheduler.num_steps
+        if override:
+            if n % override:
+                raise ValueError(
+                    f"generation.steps_per_block={override} must divide "
+                    f"n_timesteps={n}")
+            return override
         for b in (10, 8, 5, 4, 2):
-            if self.scheduler.num_steps % b == 0:
+            if n % b == 0:
                 return b
         return 1
 
