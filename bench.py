@@ -161,6 +161,22 @@ SERVE_PROFILES = {
                     eps_schedule="full:6,uniform:3", eps_extrapolate=True,
                     local_merge_ratio=0.95, global_merge_ratio=0.9,
                     resnet_mode="fused"),
+    # full-prefix reduction on the deep bf16 schedule: the all-full
+    # warmup prefix is 6 x 423ms = 2.5s of serve wall by itself
+    # (perf/stepkinds_r5.json); f4/f3 shave it to 4/3 steps with the
+    # cadence phases shifted so deep ⊆ cfg ⊆ eps-run still holds.
+    "maxe3xbf4": dict(cache_schedule="full:4,uniform:12",
+                      cfg_schedule="full:4,uniform:6",
+                      eps_schedule="full:4,uniform:3",
+                      eps_extrapolate=True,
+                      local_merge_ratio=0.95, global_merge_ratio=0.9,
+                      resnet_mode="fused"),
+    "maxe3xbf3": dict(cache_schedule="full:3,uniform:12",
+                      cfg_schedule="full:3,uniform:6",
+                      eps_schedule="full:3,uniform:3",
+                      eps_extrapolate=True,
+                      local_merge_ratio=0.95, global_merge_ratio=0.9,
+                      resnet_mode="fused"),
 }
 
 # Inversion-side serving profiles (--inv-serve-profile).  Same artifact
@@ -1024,6 +1040,9 @@ def bench_sdxl(args):
     latents = jnp.asarray(out, jnp.bfloat16)[gen.pad_src]
     t0 = time.time()
     gen.warmup(latents, context)
+    # decode warm at full frame count (same compile-contamination fix as
+    # the 512p path): keep the timed region compile-free
+    _ = float(jnp.sum(gen.vae.decode(latents[: args.frames])))
     print(f"[bench] SDXL generation compile in {time.time() - t0:.1f}s",
           file=sys.stderr)
     t0 = time.time()
@@ -1045,6 +1064,13 @@ def bench_sdxl(args):
         "inversion_fps": round(args.frames / inv_elapsed, 4),
         "mode": "sdxl" + ("+int8" if args.int8 else "")
                 + ("+ldm-fast" if args.ldm else ""),
+        "scopes": {
+            "value": "generation sample loop + VAE decode (no inversion, "
+                     "no disk saves)",
+            "inversion_fps": "inversion DDIM loop only, from pre-encoded "
+                             "latents",
+            "end_to_end_fps": "inversion loop + generation loop + decode",
+        },
     }
     print(f"[bench] SDXL generation {t_sample:.1f}s "
           f"({t_sample / args.steps * 1e3:.0f}ms/step), decode "

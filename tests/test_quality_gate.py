@@ -82,6 +82,20 @@ def test_gen_gate_harness_tiny(qgate, monkeypatch):
     assert 0 < vals[0] < 99.0
 
 
+def test_gen_gate_exact_cache_shared_across_gates(qgate, monkeypatch):
+    """Gates sharing the same exact config must reuse the cached exact-side
+    frames: the second gate's PSNR is unchanged by the cache, and the cache
+    holds one entry per (exact-config, n_frames, seed)."""
+    bundle = make_tiny_bundle()
+    args = types.SimpleNamespace(seeds=1, frames=4, steps=2, size=64)
+    cache = {}
+    _, vals_a = qgate.run_gen_gate(bundle, "int8", args, cache)
+    assert len(cache) == 1  # exact side computed once
+    _, vals_b = qgate.run_gen_gate(bundle, "int8", args, cache)
+    assert len(cache) == 1  # second gate hit the cache
+    assert vals_a == vals_b  # cached exact side gives identical PSNR
+
+
 def test_gate_artifact_written(qgate, tmp_path):
     rec = {"gate": "unit_test_gate", "psnr_mean_db": 42.0}
     qgate._write_gate_artifact("unit_test_gate", rec,

@@ -227,6 +227,53 @@ GATES = {
                           "local_merge_ratio": 0.95,
                           "global_merge_ratio": 0.9,
                           "resnet_mode": "fused"}),
+    # bf16 frontier (round 5): int8 measured ~zero loop speedup on this
+    # workload (BENCH_r04 int8 22.8s vs bf16 22.94s — the loop is
+    # structure-bound, not MXU-bound) while costing fidelity headroom.
+    # Drop the quant lever and spend the reclaimed dB on DEEPER step
+    # schedules — the per-step-kind decomposition
+    # (perf/stepkinds_r5.json) shows full refresh steps (423ms) are 64%
+    # of the maxe2x serve wall while eps-skips cost 4.5ms.
+    "serve_maxe2xb": ({}, {"cache_schedule": "full:6,uniform:8",
+                           "cfg_schedule": "full:6,uniform:4",
+                           "eps_schedule": "full:6,uniform:2",
+                           "eps_extrapolate": True,
+                           "local_merge_ratio": 0.95,
+                           "global_merge_ratio": 0.9,
+                           "resnet_mode": "fused"}),
+    "serve_maxe36b": ({}, {"cache_schedule": "full:6,uniform:6",
+                           "cfg_schedule": "full:6,uniform:6",
+                           "eps_schedule": "full:6,uniform:3",
+                           "eps_extrapolate": True,
+                           "local_merge_ratio": 0.95,
+                           "global_merge_ratio": 0.9,
+                           "resnet_mode": "fused"}),
+    "serve_maxe3xb": ({}, {"cache_schedule": "full:6,uniform:12",
+                           "cfg_schedule": "full:6,uniform:6",
+                           "eps_schedule": "full:6,uniform:3",
+                           "eps_extrapolate": True,
+                           "local_merge_ratio": 0.95,
+                           "global_merge_ratio": 0.9,
+                           "resnet_mode": "fused"}),
+    # full-prefix reduction: the all-full warmup prefix is 6 x 423ms =
+    # 2.5s of the serve wall all by itself.  Probe shaving it to 4 and 3
+    # steps on top of the deep bf16 schedule (cadence phases shift with
+    # the prefix; deep ⊆ cfg ⊆ eps-run still holds: 4+12k ⊆ 4+6k ⊆ 4+3k
+    # and 3+12k ⊆ 3+6k ⊆ 3+3k).
+    "serve_maxe3xbf4": ({}, {"cache_schedule": "full:4,uniform:12",
+                             "cfg_schedule": "full:4,uniform:6",
+                             "eps_schedule": "full:4,uniform:3",
+                             "eps_extrapolate": True,
+                             "local_merge_ratio": 0.95,
+                             "global_merge_ratio": 0.9,
+                             "resnet_mode": "fused"}),
+    "serve_maxe3xbf3": ({}, {"cache_schedule": "full:3,uniform:12",
+                             "cfg_schedule": "full:3,uniform:6",
+                             "eps_schedule": "full:3,uniform:3",
+                             "eps_extrapolate": True,
+                             "local_merge_ratio": 0.95,
+                             "global_merge_ratio": 0.9,
+                             "resnet_mode": "fused"}),
     # chunk-boundary deviation (VERDICT r3 item 4): exact side = the
     # reference's ragged-first-chunk semantics (no wraparound chunk,
     # pads never scheduled — generate.py:172-203), fast side = our
@@ -374,14 +421,19 @@ def run_inv_gate(bundle, gate, args, gen_cache):
     return vals
 
 
-def run_gen_gate(bundle, gate, args):
+def run_gen_gate(bundle, gate, args, exact_cache=None):
     """One generation gate: sample the same init noise through the exact
     and the fast config, PSNR the decoded outputs, over args.seeds seeds.
 
     Each side's Generator is built ONCE (config seed fixed at 123 — the
     merge-randomness/chunk-schedule key) and reused across seeds; only the
     init noise varies per seed.  Re-tracing the 10-step scanned sample
-    block per (seed, side) dominated gate wall time on the 1-core host."""
+    block per (seed, side) dominated gate wall time on the 1-core host.
+
+    exact_cache (optional dict) memoizes the EXACT side's decoded frames
+    across gates within one process: every serve-frontier gate shares the
+    same exact config, so a 5-gate run only pays for the exact sampling
+    once per seed instead of once per (gate, seed)."""
     from vidtome_tpu.pipeline.generator import Generator
 
     exact_over, fast_over = GATES[gate]
@@ -389,26 +441,39 @@ def run_gen_gate(bundle, gate, args):
     if gate == "chunk_ragged_pad" and n_frames % 4 == 0:
         n_frames -= 2  # force pad slots (32 -> 30 at default scale)
     latent = args.size // 8
-    side_gens = []
-    for over in (exact_over, fast_over):
+
+    def build(over):
         cfg = make_config(n_frames, args.steps, args.size, 123, **over)
         gen = Generator(bundle, cfg)
         gen.configure_frames(n_frames)
         gen.depth = None
         gen.control_images = None
-        side_gens.append(gen)
-    ctx = side_gens[0].text.embed_cfg("quality gate", "ugly, blurry")
+        return gen
+
+    exact_key = (repr(sorted(exact_over.items(), key=repr)), n_frames)
+    fast_gen = build(fast_over)
+    exact_gen = None  # built lazily only if a seed misses the cache
+    ctx = fast_gen.text.embed_cfg("quality gate", "ugly, blurry")
     vals = []
     for seed in range(args.seeds):
         init = jax.random.normal(
             jax.random.key(1000 + seed),
             (n_frames, latent, latent, 4), jnp.bfloat16)
-        outs = []
-        for gen in side_gens:
-            clean = gen.ddim_sample(jnp.copy(init[gen.pad_src]), ctx)
-            outs.append(np.asarray(
-                gen.vae.decode(clean[: n_frames]), np.float32))
-        vals.append(psnr(outs[0], outs[1]))
+        cache_key = exact_key + (seed,)
+        exact_out = None if exact_cache is None else exact_cache.get(cache_key)
+        if exact_out is None:
+            if exact_gen is None:
+                exact_gen = build(exact_over)
+            clean = exact_gen.ddim_sample(jnp.copy(init[exact_gen.pad_src]),
+                                          ctx)
+            exact_out = np.asarray(
+                exact_gen.vae.decode(clean[: n_frames]), np.float32)
+            if exact_cache is not None:
+                exact_cache[cache_key] = exact_out
+        clean = fast_gen.ddim_sample(jnp.copy(init[fast_gen.pad_src]), ctx)
+        fast_out = np.asarray(
+            fast_gen.vae.decode(clean[: n_frames]), np.float32)
+        vals.append(psnr(exact_out, fast_out))
         print(f"[gate:{gate}] seed {seed}: {vals[-1]:.2f} dB",
               file=sys.stderr)
     return n_frames, vals
@@ -491,6 +556,7 @@ def main():
             ap.error(f"unknown gate(s): {unknown}")
 
     inv_gen_cache: dict = {}
+    exact_cache: dict = {}
     for gate in gates:
         t0 = time.time()
         if gate in INV_GATES:
@@ -509,7 +575,7 @@ def main():
             print(json.dumps(rec))
             _write_gate_artifact(gate, rec)
             continue
-        n_frames, vals = run_gen_gate(bundle, gate, args)
+        n_frames, vals = run_gen_gate(bundle, gate, args, exact_cache)
         rec = {
             "gate": gate,
             "psnr_exact_vs_fast_db": [round(v, 2) for v in vals],
