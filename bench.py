@@ -76,8 +76,8 @@ V5E_BF16_PEAK = 197e12
 # The shipped serving frontier (configs/serve.yaml mirrors these —
 # tests/test_serve_config.py asserts the YAML, these defaults, and the
 # gate artifacts agree).
-DEFAULT_SERVE_PROFILE = "maxe2x"
-DEFAULT_INV_SERVE_PROFILE = "cache_w3"
+DEFAULT_SERVE_PROFILE = "maxe3xb"
+DEFAULT_INV_SERVE_PROFILE = "eps_w3x"
 
 # Serving profiles the serve sidecar can measure (--serve-profile).  Each
 # must have a measured gates/serve_<name>.json clearing 35 dB before it
@@ -185,8 +185,10 @@ SERVE_PROFILES = {
 # int8+cache combinations missed the inversion bar on TPU (34.76 /
 # 34.90 / 34.98 dB) while each lever clears individually (int8 37.34,
 # cache_w3 35.91), so the gated profiles are single-lever.  Default is
-# cache_w3: the measured TPU race (perf/serve_race_r4.json) puts it at
-# 3.48 f/s vs int8's 2.80, both cleared.
+# eps_w3x (gated 35.25 dB): the measured TPU race
+# (perf/serve_race_r5.json) puts it at 6.25 f/s vs cache_w3's 3.48 and
+# int8's 2.80, all cleared — eps-skipped steps run NO UNet (4.5ms vs a
+# ~240ms shallow step), so the deepest skip cadence wins outright.
 INV_SERVE_PROFILES = {
     "int8": (dict(quant="int8"), "inv_int8"),
     "int8_fused": (dict(quant="int8", resnet_mode="fused"),

@@ -46,6 +46,9 @@ def main():
                     default="bf16,int8,cache_w3,int8_fused",
                     help="comma list: 'bf16' or names from "
                          "bench.INV_SERVE_PROFILES")
+    ap.add_argument("--out", default=None,
+                    help="also write every row + the ranking to this JSON "
+                         "path (perf/serve_race_r*.json artifact)")
     args = ap.parse_args()
 
     import bench
@@ -166,6 +169,20 @@ def main():
                    key=lambda k: -results[k])
     print(json.dumps({"ranking": [(k, round(results[k], 3))
                                   for k in order]}))
+    if args.out:
+        rec = {
+            "frames": args.frames, "steps": args.steps, "size": args.size,
+            "steps_per_block": args.block or 10,
+            "backend": jax.devices()[0].platform,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "fps": {k: round(v, 4) for k, v in results.items()},
+            "ranking": [(k, round(results[k], 3)) for k in order],
+            "scope": "sample loop + decode per profile; inv_* rows are the "
+                     "inversion DDIM loop only (second warm run)",
+        }
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"[race] wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

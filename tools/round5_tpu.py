@@ -1,0 +1,107 @@
+"""Round-5 TPU measurement plan — ONE long-lived process.
+
+Same tunnel-wedge policy as tools/round4_tpu.py: the tunneled v5e wedges
+when processes churn, so every probe runs sequentially inside this single
+process via runpy.  Run the moment the TPU revives:
+
+    PYTHONPATH=/root/repo:/root/.axon_site \
+        python tools/round5_tpu.py [--phase race|block|sdxl|all] 2>&1 \
+        | tee /tmp/round5_tpu.log
+
+Order (most valuable first, so a mid-run wedge still leaves artifacts):
+  1. serve race    -> perf/serve_race_r5.json: bf16 deep-schedule profiles
+                      (maxe2xb/maxe36b/maxe3xb, gated 37.61/37.57/35.18 dB)
+                      vs the r4 champion maxe2x, + the two gated inversion
+                      levers (cache_w3 35.91 dB, eps_w3x 35.25 dB)
+  2. block dial    -> perf/serve_block_r5.json: winner profile at
+                      steps_per_block 25 and 50 (numerics-neutral dispatch
+                      granularity — no gate needed)
+  3. SDXL stress   -> bench --sdxl 1024p row (BASELINE.md stress config,
+                      never measured on TPU before round 5)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import runpy
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def run_tool(relpath: str, argv: list[str]) -> bool:
+    """Execute a tool's main() in-process (same TPU client — no process
+    churn).  Never raises: a failing probe must not kill the artifacts
+    already written."""
+    path = os.path.join(ROOT, relpath)
+    old_argv = sys.argv
+    t0 = time.time()
+    print(f"\n===== {relpath} {' '.join(argv)} =====", flush=True)
+    try:
+        sys.argv = [path] + argv
+        runpy.run_path(path, run_name="__main__")
+        print(f"===== {relpath} OK in {time.time() - t0:.0f}s =====",
+              flush=True)
+        return True
+    except SystemExit as e:
+        ok = (e.code in (0, None))
+        print(f"===== {relpath} exit {e.code} in {time.time() - t0:.0f}s "
+              "=====", flush=True)
+        return ok
+    except Exception as e:
+        print(f"===== {relpath} FAILED: {type(e).__name__}: {e} =====",
+              flush=True)
+        return False
+    finally:
+        sys.argv = old_argv
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all",
+                    help="comma list of race|block|sdxl, or 'all'")
+    ap.add_argument("--winner", default="maxe3xb",
+                    help="profile the block-dial phase races (the deepest "
+                         "gated bf16 schedule unless the race says "
+                         "otherwise)")
+    args = ap.parse_args()
+
+    # fail fast (60s) if the tunnel is actually dead
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    x = jnp.ones((1024, 1024), jnp.bfloat16)
+    (x @ x).block_until_ready()
+    print(f"[round5] TPU alive ({jax.devices()[0].platform}, "
+          f"probe {time.time() - t0:.1f}s)", flush=True)
+
+    results = {}
+    phases = set(args.phase.split(",")) if args.phase != "all" else {"race", "block", "sdxl"}
+    if "race" in phases:
+        results["serve_race"] = run_tool(
+            "tools/exp_serve_race.py",
+            ["--profiles", "maxe2x,maxe2xb,maxe36b,maxe3xb",
+             "--inv-profiles", "cache_w3,eps_w3x",
+             "--out", os.path.join(ROOT, "perf", "serve_race_r5.json")])
+    if "block" in phases:
+        for block in (25, 50):
+            results[f"block{block}"] = run_tool(
+                "tools/exp_serve_race.py",
+                ["--profiles", args.winner, "--block", str(block),
+                 "--skip-exact", "--skip-inv",
+                 "--out", os.path.join(ROOT, "perf",
+                                       f"serve_block{block}_r5.json")])
+    if "sdxl" in phases:
+        results["sdxl"] = run_tool("bench.py", ["--sdxl"])
+
+    print("\n[round5] summary:", flush=True)
+    for k, ok in results.items():
+        print(f"  {'OK ' if ok else 'FAIL'} {k}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
