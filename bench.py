@@ -161,6 +161,24 @@ SERVE_PROFILES = {
                     eps_schedule="full:6,uniform:3", eps_extrapolate=True,
                     local_merge_ratio=0.95, global_merge_ratio=0.9,
                     resnet_mode="fused"),
+    # chunk-size push on the deep bf16 schedule (round 5): chunk 8/16
+    # batches 2-4x the frames per UNet call (fewer dispatches + bank
+    # merges, fuller MXU) and local F->1 merging over more frames
+    # compresses the joined sequence harder — total attention FLOPs drop
+    # ~31% (c8) / ~42% (c16) at these ratios.  Requires the matching
+    # gates/serve_maxe3xbc{8,16}.json >= 35 dB before promotion.
+    "maxe3xbc8": dict(cache_schedule="full:6,uniform:12",
+                      cfg_schedule="full:6,uniform:6",
+                      eps_schedule="full:6,uniform:3",
+                      eps_extrapolate=True,
+                      local_merge_ratio=0.95, global_merge_ratio=0.9,
+                      resnet_mode="fused", chunk_size=8),
+    "maxe3xbc16": dict(cache_schedule="full:6,uniform:12",
+                       cfg_schedule="full:6,uniform:6",
+                       eps_schedule="full:6,uniform:3",
+                       eps_extrapolate=True,
+                       local_merge_ratio=0.95, global_merge_ratio=0.9,
+                       resnet_mode="fused", chunk_size=16),
     # full-prefix reduction on the deep bf16 schedule: the all-full
     # warmup prefix is 6 x 423ms = 2.5s of serve wall by itself
     # (perf/stepkinds_r5.json); f4/f3 shave it to 4/3 steps with the

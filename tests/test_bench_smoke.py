@@ -77,12 +77,17 @@ def test_measure_mode_fps_headline_profile(bench, bundle):
         jnp.bfloat16)
     context = gen.text.embed_cfg("x", "bad")
 
-    # default headline profile first (the one BENCH_r* ships), then one
-    # representative from each remaining lever family
-    profile = bench.SERVE_PROFILES["maxe2x"]
+    # the SHIPPED headline profile (whatever bench currently defaults
+    # to — promotion must never outrun this smoke), then the chunk-size
+    # push candidate (different chunk table / bank / fidx layouts)
+    profile = bench.SERVE_PROFILES[bench.DEFAULT_SERVE_PROFILE]
     fps = bench._measure_mode_fps(bundle, args, latents, context,
                                   "smoke", **profile)
     assert fps > 0
+    c8 = bench.SERVE_PROFILES["maxe3xbc8"]
+    fps8 = bench._measure_mode_fps(bundle, args, latents, context,
+                                   "smoke_c8", **c8)
+    assert fps8 > 0
 
 
 def test_measure_pnp_fps(bench, bundle):
@@ -101,7 +106,7 @@ def test_serve_profiles_schema(bench):
                "eps_interval", "cache_interval", "cfg_interval",
                "eps_extrapolate", "local_merge_ratio",
                "global_merge_ratio", "resnet_mode", "chunk_boundaries",
-               "len_quantum", "vae_mode", "steps_per_block"}
+               "len_quantum", "steps_per_block", "chunk_size"}
     for name, prof in bench.SERVE_PROFILES.items():
         unknown = set(prof) - allowed
         assert not unknown, f"profile {name}: unknown keys {unknown}"

@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--profile", default="maxe2x")
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default perf/stepkinds_r5.json)")
     args = ap.parse_args()
 
     bench = _load_bench()
@@ -162,7 +164,7 @@ def main():
            "ms_per_step": {k: round(v, 1) for k, v in results.items()},
            "schedule_arithmetic_s": round(total / 1e3, 2),
            "scope": "sample-block wall per step kind, warm, 32f 512p"}
-    path = os.path.join(ROOT, "perf", "stepkinds_r5.json")
+    path = args.out or os.path.join(ROOT, "perf", "stepkinds_r5.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"wrote": path}))

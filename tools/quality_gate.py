@@ -274,6 +274,30 @@ GATES = {
                              "local_merge_ratio": 0.95,
                              "global_merge_ratio": 0.9,
                              "resnet_mode": "fused"}),
+    # chunk-size push (round 5): larger chunks batch more frames per UNet
+    # call (better MXU utilization, half/quarter the bank merges and
+    # dispatches) AND merge harder locally — local F->1 merging over 8/16
+    # frames compresses the joined sequence more than twice 4-frame
+    # chunks, so total attention FLOPs DROP (~31% at c8 for equal token
+    # budgets).  Exact side stays the reference default chunk_size 4.
+    "chunk8": ({}, {"chunk_size": 8}),
+    "chunk16": ({}, {"chunk_size": 16}),
+    "serve_maxe3xbc8": ({}, {"cache_schedule": "full:6,uniform:12",
+                             "cfg_schedule": "full:6,uniform:6",
+                             "eps_schedule": "full:6,uniform:3",
+                             "eps_extrapolate": True,
+                             "local_merge_ratio": 0.95,
+                             "global_merge_ratio": 0.9,
+                             "resnet_mode": "fused",
+                             "chunk_size": 8}),
+    "serve_maxe3xbc16": ({}, {"cache_schedule": "full:6,uniform:12",
+                              "cfg_schedule": "full:6,uniform:6",
+                              "eps_schedule": "full:6,uniform:3",
+                              "eps_extrapolate": True,
+                              "local_merge_ratio": 0.95,
+                              "global_merge_ratio": 0.9,
+                              "resnet_mode": "fused",
+                              "chunk_size": 16}),
     # chunk-boundary deviation (VERDICT r3 item 4): exact side = the
     # reference's ragged-first-chunk semantics (no wraparound chunk,
     # pads never scheduled — generate.py:172-203), fast side = our

@@ -59,10 +59,63 @@ def run_tool(relpath: str, argv: list[str]) -> bool:
         sys.argv = old_argv
 
 
+def run_tool_capture(relpath: str, argv: list[str], out_json: str) -> bool:
+    """run_tool, but tee stdout and persist the tool's LAST stdout JSON
+    line to `out_json` (bench.py prints its result as one JSON line and
+    writes no artifact itself)."""
+    import io
+    import json
+
+    class _Tee(io.TextIOBase):
+        def __init__(self, *sinks):
+            self.sinks = sinks
+            self.lines: list[str] = []
+            self._buf = ""
+
+        def write(self, s):
+            for k in self.sinks:
+                k.write(s)
+            self._buf += s
+            while "\n" in self._buf:
+                line, self._buf = self._buf.split("\n", 1)
+                self.lines.append(line)
+            return len(s)
+
+        def flush(self):
+            for k in self.sinks:
+                k.flush()
+
+    tee = _Tee(sys.stdout)
+    old_stdout = sys.stdout
+    sys.stdout = tee
+    try:
+        ok = run_tool(relpath, argv)
+    finally:
+        sys.stdout = old_stdout
+    rec = None
+    for line in reversed(tee.lines + [tee._buf]):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+                break
+            except ValueError:
+                continue
+    if rec is not None:
+        with open(out_json, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"[round5] wrote {out_json}", flush=True)
+    else:
+        print(f"[round5] NO JSON captured for {out_json}", flush=True)
+        ok = False
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="all",
-                    help="comma list of race|block|sdxl, or 'all'")
+                    help="comma list of race|block|sdxl|bench|stepkinds, "
+                         "or 'all' (= race,block,sdxl)")
     ap.add_argument("--winner", default="maxe3xb",
                     help="profile the block-dial phase races (the deepest "
                          "gated bf16 schedule unless the race says "
@@ -95,8 +148,26 @@ def main():
                  "--skip-exact", "--skip-inv",
                  "--out", os.path.join(ROOT, "perf",
                                        f"serve_block{block}_r5.json")])
+    if "bench" in phases:
+        # full default bench run: validates the promoted defaults
+        # (maxe3xb + eps_w3x) through bench's own path and captures the
+        # serve_end_to_end / pnp / int8 sidecar numbers in one artifact
+        results["bench"] = run_tool_capture(
+            "bench.py", [],
+            os.path.join(ROOT, "perf", "bench_headline_r5.json"))
     if "sdxl" in phases:
-        results["sdxl"] = run_tool("bench.py", ["--sdxl"])
+        results["sdxl"] = run_tool_capture(
+            "bench.py", ["--sdxl"],
+            os.path.join(ROOT, "perf", "sdxl_r5.json"))
+    if "stepkinds" in phases:
+        # per-step-kind decomposition under the PROMOTED bf16 profile
+        # (the r5 artifact was measured under int8 maxe2x) — guides the
+        # remaining kernel levers
+        results["stepkinds"] = run_tool(
+            "tools/exp_stepkinds.py",
+            ["--profile", args.winner,
+             "--out", os.path.join(ROOT, "perf",
+                                   f"stepkinds_{args.winner}_r5.json")])
 
     print("\n[round5] summary:", flush=True)
     for k, ok in results.items():

@@ -10,8 +10,12 @@ kernels collapse the whole block into TWO pallas calls:
   call A: GN1 statistics -> normalize+SiLU -> conv1 (9 shifted MXU dots
           per input-channel chunk) -> +bias+temb -> GN2 statistics,
           with the conv accumulator held in fp32 VMEM scratch;
-  call B: normalize+SiLU -> conv2 -> (+1x1 projected or identity
-          shortcut) -> +bias, writing the block output.
+  call B: normalize+SiLU -> conv2 -> +shortcut -> +bias, writing the
+          block output.  The shortcut arrives pre-computed: identity
+          shapes pass x; projection shapes run the 1x1 conv as one XLA
+          matmul outside the kernel (round-5 fix — the in-kernel
+          per-chunk shortcut dots serialized into the conv2 phase and
+          lost 0.94x/0.68x on projection shapes).
 
 The 3x3 convolution runs as 9 shifted [H*W, 128] x [128, Cout] MXU dots
 per 128-lane input chunk — channels are chunked so whole-frame spatial
@@ -173,9 +177,16 @@ def _kernel_a(x_ref, sb1_ref, g1d_ref, g1u_ref, w1_ref, sw1_ref, tb1_ref,
 
 
 def _kernel_b(h_in_ref, st2_ref, sb2_ref, g2d_ref, g2u_ref, w2_ref,
-              sw2_ref, b2_ref, x_ref, ws_ref, o_ref, acc, aff2, *,
-              c_mid: int, H: int, W: int, KC2: int, KCX: int, MT: int,
-              MR: int, eps: float, proj: bool, quant: bool):
+              sw2_ref, b2_ref, sc_ref, o_ref, acc, aff2, *,
+              c_mid: int, H: int, W: int, KC2: int, MT: int,
+              MR: int, eps: float, quant: bool):
+    """conv2 phase + shortcut add.  The shortcut tensor `sc_ref` arrives
+    PRE-COMPUTED: identity shapes pass x itself; projection shapes pass
+    the 1x1-conv result computed by XLA outside the kernel (a dense
+    [B*H*W, Ci] x [Ci, Co] matmul XLA runs near MXU peak — the previous
+    in-kernel per-chunk shortcut dots serialized into the conv2 phase
+    and measured 0.94x/0.68x vs XLA on the projection shapes,
+    DESIGN §8.4)."""
     p = pl.program_id(1)
     t = pl.program_id(2)
 
@@ -197,20 +208,12 @@ def _kernel_b(h_in_ref, st2_ref, sb2_ref, g2d_ref, g2u_ref, w2_ref,
         else:
             _conv_taps(y, w2_ref, acc, H, W)
 
-    if proj:
-        @pl.when((p == 0) & (t < KCX))
-        def _shortcut_proj():
-            xs = x_ref[0].astype(jnp.bfloat16).reshape(H * W, _LANES)
-            acc[...] += jax.lax.dot(xs, ws_ref[...],
-                                    preferred_element_type=jnp.float32)
-
     @pl.when(p == 1)
     def _write():
         mt = jnp.minimum(t, MT - 1)
         rows = pl.ds(mt * MR * W, MR * W)
-        out = acc[rows, :] + b2_ref[...]
-        if not proj:
-            out = out + x_ref[0].reshape(MR * W, -1).astype(jnp.float32)
+        out = (acc[rows, :] + b2_ref[...]
+               + sc_ref[0].reshape(MR * W, -1).astype(jnp.float32))
         o_ref[0] = out.reshape(MR, W, -1).astype(o_ref.dtype)
 
 
@@ -327,33 +330,32 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
     )(xp, sb1, g1d, g1u, w1p, sw1, tb1)
 
     proj = ws is not None
-    KCX = KC if proj else 0
-    b2_total = b2.astype(f32)
-    if proj:
-        b2_total = b2_total + (0.0 if bs is None else bs.astype(f32))
-    b2p = jnp.pad(b2_total, (0, Op - Co)).reshape(1, Op)
+    b2p = jnp.pad(b2.astype(f32), (0, Op - Co)).reshape(1, Op)
 
-    Tb = max(KC2, KCX, MT)
-    kernel_b = functools.partial(
-        _kernel_b, c_mid=Co, H=H, W=W, KC2=KC2, KCX=KCX, MT=MT, MR=MR,
-        eps=eps, proj=proj, quant=quant)
+    # Shortcut tensor, computed OUTSIDE the kernel: identity shapes pass
+    # x itself (Cp == Op); projection shapes run the 1x1 conv as one XLA
+    # matmul (near MXU peak; the old in-kernel per-chunk dots serialized
+    # into the conv2 phase and lost 0.94x/0.68x on the proj shapes).
+    # bs folds into the shortcut so the write phase stays one add.
     if proj:
-        x_spec = pl.BlockSpec(
-            (1, H, W, _LANES),
-            lambda b, p, t: (b, 0, 0,
-                             jnp.where(p == 0, jnp.minimum(t, KC - 1), 0)))
-        ws_in = jnp.pad(ws.astype(jnp.bfloat16),
-                        ((0, Cp - Ci), (0, Op - Co)))
-        ws_spec = pl.BlockSpec(
-            (_LANES, Op), lambda b, p, t: (jnp.minimum(t, KC - 1), 0))
+        sc = jnp.dot(x.astype(jnp.bfloat16), ws.astype(jnp.bfloat16),
+                     preferred_element_type=f32)
+        if bs is not None:
+            sc = sc + bs.astype(f32)
+        scp = jnp.pad(sc.astype(jnp.bfloat16),
+                      ((0, 0), (0, 0), (0, 0), (0, Op - Co)))
     else:
-        # identity shortcut: x re-read in output m-tiles at the write phase
-        x_spec = pl.BlockSpec(
-            (1, MR, W, Cp),
-            lambda b, p, t: (b, jnp.where(p == 1, jnp.minimum(t, MT - 1),
-                                          0), 0, 0))
-        ws_in = jnp.zeros((1, Op), jnp.bfloat16)  # unused placeholder
-        ws_spec = pl.BlockSpec((1, Op), const)
+        scp = xp  # Cp == Op
+    # shortcut re-read in output m-tiles at the write phase
+    sc_spec = pl.BlockSpec(
+        (1, MR, W, Op),
+        lambda b, p, t: (b, jnp.where(p == 1, jnp.minimum(t, MT - 1),
+                                      0), 0, 0))
+
+    Tb = max(KC2, MT)
+    kernel_b = functools.partial(
+        _kernel_b, c_mid=Co, H=H, W=W, KC2=KC2, MT=MT, MR=MR,
+        eps=eps, quant=quant)
 
     out = pl.pallas_call(
         kernel_b,
@@ -373,8 +375,7 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
                          lambda b, p, t: (jnp.minimum(t, KC2 - 1), 0, 0)),
             pl.BlockSpec((1, Op), const),
             pl.BlockSpec((1, Op), const),
-            x_spec,
-            ws_spec,
+            sc_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, MR, W, Op),
@@ -388,5 +389,5 @@ def fused_resnet(x, tvec, n1_scale, n1_bias, w1, b1, n2_scale, n2_bias,
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(h, st2, sb2, g2d, g2u, w2p, sw2, b2p, xp, ws_in)
+    )(h, st2, sb2, g2d, g2u, w2p, sw2, b2p, scp)
     return out[..., :Co]
