@@ -23,11 +23,25 @@ def _qkv(key, B, H, Sq, Skv, D, dtype=jnp.float32):
     (300, 300, 40),      # unaligned merged-token sequence, SD1.5 head dim
     (512, 77, 64),       # cross-attention vs text tokens
     (128, 1024, 160),    # long kv, SD mid-block head dim
+    (1024, 1024, 512),   # VAE decoder mid-attention head dim (D=512 caps
+                         # blocks at 512 — the SDXL 1024p decode VMEM fix)
 ])
 def test_flash_matches_reference(Sq, Skv, D):
     q, k, v = _qkv(jax.random.key(0), 2, 3, Sq, Skv, D)
     expected = reference_attention(q, k, v)
     got = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_large_head_dim_default_blocks():
+    """Default block selection at D=512 (VAE decoder mid-attention) must
+    cap at 512 and stay correct — at block 1024 the double-buffered
+    working set exceeds the 16MB scoped-VMEM limit on real TPUs (the
+    SDXL 1024p decode OOM)."""
+    q, k, v = _qkv(jax.random.key(3), 1, 1, 1024, 1024, 512)
+    expected = reference_attention(q, k, v)
+    got = flash_attention(q, k, v, interpret=True)  # default blocks
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-3, atol=2e-3)
 

@@ -262,6 +262,7 @@ class TestCFGCache:
                                  cache_interval=2, cfg_interval=2)
         assert np.isfinite(frames).all()
 
+    @pytest.mark.slow
     def test_combined_interval1_matches_off(self, bundle, video_dir,
                                             tmp_path):
         frames_off = _run_generation(bundle, tmp_path / "a", video_dir)

@@ -86,6 +86,7 @@ def _stepper(bundle, tmp_path, video_dir, n_steps, **gene_overrides):
 
 
 class TestGeneratorEpsCache:
+    @pytest.mark.slow
     def test_interval1_matches_off(self, bundle, video_dir, tmp_path):
         frames_off = _run_generation(bundle, tmp_path / "a", video_dir)
         frames_e1 = _run_generation(bundle, tmp_path / "b", video_dir,

@@ -205,6 +205,7 @@ class TestLoRA:
 
 
 class TestControlNetModel:
+    @pytest.mark.slow
     def test_residual_shapes_match_unet_skips(self):
         import jax
         import jax.numpy as jnp

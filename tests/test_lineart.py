@@ -64,6 +64,7 @@ def _build_torch_unet(ngf=64, num_downs=8, seed=0):
     return net
 
 
+@pytest.mark.slow
 class TestLineartParity:
     def test_converted_forward_matches_torch(self):
         net = _build_torch_unet().eval()

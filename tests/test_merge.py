@@ -386,6 +386,7 @@ class TestLenQuantization:
 
 
 class TestStructuredMerge:
+    @pytest.mark.slow
     def test_structured_equals_plain_gather(self):
         """The slice-based replace merge must match the raw merge_gather
         path bit-for-bit (local multi-run + global single-run + prefix)."""

@@ -4,6 +4,7 @@ schedule distribution, tokenizer truncation."""
 import json
 
 import numpy as np
+import pytest
 
 
 def test_conv_lora_merge():
@@ -64,6 +65,7 @@ def test_tokenizer_truncation():
     assert ids[0, 0] == tok.bos and ids[0, -1] == tok.eos
 
 
+@pytest.mark.slow
 def test_merged_local_len_matches_actual():
     """ToMeConfig.merged_local_len's closed form must match the real merged
     shape for several (frames, ratio, stride) combos."""

@@ -39,6 +39,7 @@ class TestUNet:
         b = model.apply(params, x, jnp.asarray(500), ctx)
         assert np.abs(np.asarray(a - b)).max() > 1e-4
 
+    @pytest.mark.slow
     def test_merging_active_changes_output_but_not_shape(self, tiny_unet):
         _, params = tiny_unet
         tome = ToMeConfig(frames=4, local_merge_ratio=0.9)
@@ -54,6 +55,7 @@ class TestUNet:
         assert out_m.shape == out_p.shape == (8, 16, 16, 4)
         assert np.abs(np.asarray(out_m - out_p)).max() > 1e-5
 
+    @pytest.mark.slow
     def test_merging_identical_frames_matches_unmerged(self, tiny_unet):
         """With identical frames and ratio=1.0, replace-mode merging reduces
         the joined sequence to exactly one frame's tokens, so the merged
@@ -408,6 +410,7 @@ class TestLDMVariantMerging:
         np.testing.assert_allclose(np.asarray(ldm), np.asarray(base),
                                    atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_distinct_frames_differ_but_finite(self):
         import jax
 

@@ -255,6 +255,7 @@ def test_quantized_unet_close_to_fp32():
     assert _rel_rmse(out, ref) < 0.08
 
 
+@pytest.mark.slow
 def test_controlnet_int8_residuals_close():
     """ControlNet shares the UNet block classes, so quantize_params with
     the controlnet exclusions (zero convs + hint encoder stay bf16) must

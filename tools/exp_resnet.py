@@ -137,7 +137,26 @@ def xla_resnet_int8(x, tvec, n1s, n1b, w1, b1, n2s, n2b, w2, b2, ws=None,
 
 
 def main():
+    import argparse
+    import json
+    import os
+
     from vidtome_tpu.ops.quant import quantize_weight
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write {label: {xla_ms, fused_ms, ratio, "
+                         "maxerr}} JSON artifact here")
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the W8A8 variants (int8 was dropped "
+                         "from the serve profiles in round 5, so the "
+                         "default sweep is bf16-only)")
+    ap.add_argument("--full", action="store_true",
+                    help="sweep EVERY distinct SD1.5 (Ci,Co,rows) resnet "
+                         "shape class incl. all up-path projection "
+                         "shapes and the chunk-8 batch-16 variants "
+                         "(default: the 4 round-3 shapes)")
+    args = ap.parse_args()
 
     shapes = [
         ("L0 down 320->320", dict(B=8, H=64, W=64, Ci=320, Co=320,
@@ -149,13 +168,37 @@ def main():
         ("L1 up  1280->640", dict(B=8, H=32, W=32, Ci=1280, Co=640,
                                   proj=True), 32),
     ]
+    if args.full:
+        # every remaining distinct (Ci, Co, rows) class the SD1.5 UNet
+        # executes at 512p on the merge-eligible levels (models/unet.py
+        # block channel arithmetic: up-path Ci = hidden + skip), plus
+        # batch-16 variants for the chunk-8 serve candidate
+        shapes += [
+            ("L0 up   960->320", dict(B=8, H=64, W=64, Ci=960, Co=320,
+                                      proj=True), 32),
+            ("L1 down 320->640", dict(B=8, H=32, W=32, Ci=320, Co=640,
+                                      proj=True), 32),
+            ("L1 up   960->640", dict(B=8, H=32, W=32, Ci=960, Co=640,
+                                      proj=True), 32),
+            ("L1 up  1920->640", dict(B=8, H=32, W=32, Ci=1920, Co=640,
+                                      proj=True), 32),
+            ("L0 down 320->320 b16", dict(B=16, H=64, W=64, Ci=320,
+                                          Co=320, proj=False), 32),
+            ("L0 up   640->320 b16", dict(B=16, H=64, W=64, Ci=640,
+                                          Co=320, proj=True), 32),
+            ("L1 down 640->640 b16", dict(B=16, H=32, W=32, Ci=640,
+                                          Co=640, proj=False), 32),
+            ("L1 up  1280->640 b16", dict(B=16, H=32, W=32, Ci=1280,
+                                          Co=640, proj=True), 32),
+        ]
+    rows_out = {}
     for label, spec, groups in shapes:
         p = make(jax.random.key(0), **spec)
         extra = () if p["ws"] is None else (p["ws"], p["bs"])
-        args = (p["x"], p["tvec"], p["n1s"], p["n1b"], p["w1"], p["b1"],
-                p["n2s"], p["n2b"], p["w2"], p["b2"], *extra)
-        want = np.asarray(xla_resnet(*args, groups=groups), np.float32)
-        got = np.asarray(fused_resnet(*args, num_groups=groups),
+        fargs = (p["x"], p["tvec"], p["n1s"], p["n1b"], p["w1"], p["b1"],
+                 p["n2s"], p["n2b"], p["w2"], p["b2"], *extra)
+        want = np.asarray(xla_resnet(*fargs, groups=groups), np.float32)
+        got = np.asarray(fused_resnet(*fargs, num_groups=groups),
                          np.float32)
         scale = np.abs(want).max() + 1e-3
         err = np.abs(got / scale - want / scale).max()
@@ -163,7 +206,14 @@ def main():
         ms_fus = timed(lambda *a: fused_resnet(*a, num_groups=groups), p)
         print(f"{label}:  xla {ms_xla:7.3f}ms  fused {ms_fus:7.3f}ms  "
               f"({ms_xla / ms_fus:4.2f}x)  maxerr {err:.4f}", flush=True)
+        rows_out[label] = {
+            "xla_ms": round(ms_xla, 3), "fused_ms": round(ms_fus, 3),
+            "ratio": round(ms_xla / ms_fus, 3),
+            "maxerr": round(float(err), 5),
+        }
 
+        if not args.int8:
+            continue
         # --- int8 serving variants of the same block ---
         w1q = quantize_weight(p["w1"])
         w2q = quantize_weight(p["w2"])
@@ -179,6 +229,19 @@ def main():
         ms_fq = timed(fused_q, pq)
         print(f"{label} [int8]:  xla {ms_xq:7.3f}ms  fused "
               f"{ms_fq:7.3f}ms  ({ms_xq / ms_fq:4.2f}x)", flush=True)
+        rows_out[label + " [int8]"] = {
+            "xla_ms": round(ms_xq, 3), "fused_ms": round(ms_fq, 3),
+            "ratio": round(ms_xq / ms_fq, 3),
+        }
+
+    if args.out:
+        rec = {"backend": jax.default_backend(), "n_iters": N_ITERS,
+               "kernel": "external-shortcut (round 5)",
+               "shapes": rows_out,
+               "scope": "ms per block forward, 300-iter scan loop, warm"}
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(json.dumps({"wrote": os.path.abspath(args.out)}))
 
 
 if __name__ == "__main__":

@@ -159,6 +159,26 @@ def main():
         results["sdxl"] = run_tool_capture(
             "bench.py", ["--sdxl"],
             os.path.join(ROOT, "perf", "sdxl_r5.json"))
+    if "resnet" in phases:
+        # external-shortcut kernel sweep over every SD1.5 shape class
+        # (projection shapes lost 0.94x/0.68x with the old in-kernel
+        # shortcut; this measures the new routing frontier)
+        results["resnet"] = run_tool(
+            "tools/exp_resnet.py",
+            ["--full", "--out",
+             os.path.join(ROOT, "perf", "resnet_sweep_r5.json")])
+    if "cgates" in phases:
+        # chunk-size push gates: standalone levers + maxe3xb-combined
+        results["cgates"] = run_tool(
+            "tools/quality_gate.py",
+            ["--gate",
+             "chunk8,chunk16,serve_maxe3xbc8,serve_maxe3xbc16"])
+    if "crace" in phases:
+        results["crace"] = run_tool(
+            "tools/exp_serve_race.py",
+            ["--profiles", "maxe3xb,maxe3xbc8,maxe3xbc16",
+             "--skip-exact", "--skip-inv",
+             "--out", os.path.join(ROOT, "perf", "serve_race_r5c.json")])
     if "stepkinds" in phases:
         # per-step-kind decomposition under the PROMOTED bf16 profile
         # (the r5 artifact was measured under int8 maxe2x) — guides the

@@ -146,9 +146,13 @@ def flash_attention(
     # Pick blocks that DIVIDE the sequence when possible: the merge engine
     # quantizes merged lengths (core/merge.quantize_r) exactly so the
     # kernel can run mask- and pad-free.  1024 is the measured v5e sweet
-    # spot; fall back to smaller divisors before padding.
+    # spot at UNet head dims (40-160); at the VAE decoder's D=512
+    # mid-attention the 1024-block working set (q/k/v/out tiles + fp32
+    # accumulator, double-buffered) exceeds the 16MB scoped-VMEM limit
+    # once Sq is large (SDXL 1024p decode: Sq=16384 OOMed by 784K), so
+    # large head dims cap at 512.
     def pick_block(S, requested):
-        cap = requested or 1024
+        cap = requested or (1024 if D <= 256 else 512)
         # honor an explicitly requested size first (e.g. block_q=2048)
         # before walking the default ladder
         candidates = ((cap,) if requested else ()) + (1024, 512, 256)
