@@ -1029,6 +1029,11 @@ def bench_sdxl(args):
             "align_batch": False, "save_frame": False,
             "quant": "int8" if args.int8 else "none",
             "merge_crossattn": args.ldm, "merge_ff": args.ldm,
+            # VAE batch: at 1024p a batch-8 decode holds ~2GB activations
+            # per conv buffer next to the 5.2GB bf16 SDXL UNet — batch 2
+            # keeps decode inside a 16GB v5e's HBM (the r5 session-2
+            # RESOURCE_EXHAUSTED poisoned every later phase)
+            "batch_size": 2,
         },
     })
 

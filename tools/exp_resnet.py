@@ -83,10 +83,11 @@ def timed(fn, p):
     def loop(x0):
         def body(x, _):
             y = fn(x, *args, *extra)
-            # feed back at the input arity (channel slice / pad)
+            # feed back at the input arity (channel tile / slice)
             Ci = x.shape[-1]
             if y.shape[-1] < Ci:
-                y = jnp.concatenate([y, y], axis=-1)[..., :Ci]
+                reps = -(-Ci // y.shape[-1])
+                y = jnp.concatenate([y] * reps, axis=-1)[..., :Ci]
             return y.astype(jnp.bfloat16), None
         y, _ = jax.lax.scan(body, x0, None, length=N_ITERS)
         return y

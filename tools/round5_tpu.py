@@ -57,6 +57,32 @@ def run_tool(relpath: str, argv: list[str]) -> bool:
         return False
     finally:
         sys.argv = old_argv
+        _release_device_memory()
+
+
+def _release_device_memory():
+    """Free every live device array between phases.  Phases are
+    self-contained (each loads its own model), but a phase that dies
+    mid-allocation (the r5 SDXL RESOURCE_EXHAUSTED) leaves its buffers
+    referenced from the dead module/traceback and poisons every later
+    phase with OOM — so drop caches, collect, and hard-delete whatever
+    survives."""
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+    n = 0
+    for arr in jax.live_arrays():
+        try:
+            arr.delete()
+            n += 1
+        except Exception:
+            pass
+    if n:
+        print(f"[round5] released {n} leaked device arrays", flush=True)
 
 
 def run_tool_capture(relpath: str, argv: list[str], out_json: str) -> bool:
@@ -179,6 +205,15 @@ def main():
             ["--profiles", "maxe3xb,maxe3xbc8,maxe3xbc16",
              "--skip-exact", "--skip-inv",
              "--out", os.path.join(ROOT, "perf", "serve_race_r5c.json")])
+    if "trace0" in phases:
+        # op-level trace of the WARMUP block (all-full steps = 69% of the
+        # maxe3xb serve wall): what a 472ms full step is made of
+        results["trace0"] = run_tool(
+            "tools/trace_ops.py",
+            [f"--profile={args.winner}", "--block=0"])
+    if "trace1" in phases:
+        results["trace1"] = run_tool(
+            "tools/trace_ops.py", [f"--profile={args.winner}"])
     if "stepkinds" in phases:
         # per-step-kind decomposition under the PROMOTED bf16 profile
         # (the r5 artifact was measured under int8 maxe2x) — guides the

@@ -105,6 +105,12 @@ def main():
     # serve loop, per step averaged over one block
     profile = next((a.split("=", 1)[1] for a in sys.argv
                     if a.startswith("--profile=")), None)
+    # which 10-step block to trace: 1 (default) = steady-state cadence;
+    # 0 = the all-full warmup prefix ("full:6,..." specs), which is the
+    # dominant serve wall slice (10 x 472ms of 6.88s at maxe3xb,
+    # perf/stepkinds_maxe3xb_r5.json)
+    trace_block = int(next((a.split("=")[1] for a in sys.argv
+                            if a.startswith("--block=")), 1))
     frames, steps, size = 32, 50, 512
     latent = size // 8
     gene_extra = {}
@@ -164,19 +170,24 @@ def main():
     deep = gen._cache_buffers(x)
     zero_i = jnp.asarray(0, jnp.int32)
     modes = gen._mode_masks()
-    # warm block 0 (schedule warmup steps), then trace block 1 — the
-    # STEADY-STATE cadence region for schedule-driven serve profiles
-    # (block 0 is all-full under "full:6,..." specs and would overstate)
+    # warm run to compile + (for --block=1, the default) advance through
+    # the schedule warmup steps so the traced block is the STEADY-STATE
+    # cadence region; --block=0 instead re-traces the all-full warmup
+    # prefix itself (the dominant serve wall slice)
     x, deep = gen._sample_block(gen._params, x, deep, zero_i, modes,
                                 fidx_table, context, zero, zero, zero, gs,
                                 n_steps=block)
     _ = float(jnp.sum(x))
+    start = jnp.asarray(trace_block * block, jnp.int32)
+    if trace_block == 0:
+        # re-run block 0 warm on fresh buffers (same executable)
+        x = jnp.copy(latents)
+        deep = gen._cache_buffers(x)
 
     trace_dir = "/tmp/trace_ops"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
-        x, deep = gen._sample_block(gen._params, x, deep,
-                                    jnp.asarray(block, jnp.int32), modes,
+        x, deep = gen._sample_block(gen._params, x, deep, start, modes,
                                     fidx_table, context, zero, zero, zero,
                                     gs, n_steps=block)
         _ = float(jnp.sum(x))
