@@ -85,7 +85,7 @@ def timed(fn, p):
             y = fn(x, *args, *extra)
             # feed back at the input arity (channel tile / slice)
             Ci = x.shape[-1]
-            if y.shape[-1] < Ci:
+            if y.shape[-1] != Ci:
                 reps = -(-Ci // y.shape[-1])
                 y = jnp.concatenate([y] * reps, axis=-1)[..., :Ci]
             return y.astype(jnp.bfloat16), None
@@ -212,6 +212,8 @@ def main():
             "ratio": round(ms_xla / ms_fus, 3),
             "maxerr": round(float(err), 5),
         }
+        if args.out:  # write incrementally — a tunnel stall mid-sweep
+            _write_artifact(args.out, rows_out)  # must not lose the rows
 
         if not args.int8:
             continue
@@ -236,13 +238,21 @@ def main():
         }
 
     if args.out:
-        rec = {"backend": jax.default_backend(), "n_iters": N_ITERS,
-               "kernel": "external-shortcut (round 5)",
-               "shapes": rows_out,
-               "scope": "ms per block forward, 300-iter scan loop, warm"}
-        with open(args.out, "w") as f:
-            json.dump(rec, f, indent=1)
+        _write_artifact(args.out, rows_out)
         print(json.dumps({"wrote": os.path.abspath(args.out)}))
+
+
+def _write_artifact(path, rows_out):
+    import json
+
+    import jax
+
+    rec = {"backend": jax.default_backend(), "n_iters": N_ITERS,
+           "kernel": "external-shortcut (round 5)",
+           "shapes": rows_out,
+           "scope": "ms per block forward, 300-iter scan loop, warm"}
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":
