@@ -1079,6 +1079,43 @@ def bench_sdxl(args):
     elapsed = time.time() - t0
     fps = args.frames / elapsed
     e2e = inv_elapsed + elapsed
+
+    # SDXL serve sidecar: the shipped 512p serving profile's dials are
+    # resolution/model independent config keys, but they only become an
+    # SDXL serving ROW once gates/serve_<profile>_xl.json (measured via
+    # tools/quality_gate.py --sd xl) clears 35 dB — same artifact rule
+    # as the 512p headline.
+    sdxl_serve_fps = None
+    sdxl_gate = None
+    if not args.int8 and not args.ldm:
+        try:
+            s_cfg = Config(cfg.to_dict())
+            s_cfg["generation"] = dict(
+                cfg["generation"], **SERVE_PROFILES[args.serve_profile])
+            gen_s = Generator(bundle, s_cfg)
+            gen_s.configure_frames(args.frames)
+            gen_s.depth = None
+            gen_s.control_images = None
+            t0 = time.time()
+            gen_s.warmup(latents, context)
+            print(f"[bench] SDXL serve warmup in {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            t0 = time.time()
+            clean_s = gen_s.ddim_sample(jnp.copy(latents), context)
+            _ = float(jnp.sum(clean_s))
+            _ = float(jnp.sum(gen_s.vae.decode(clean_s[: args.frames])))
+            sdxl_serve_fps = args.frames / (time.time() - t0)
+            print(f"[bench] SDXL serve ({args.serve_profile}): "
+                  f"{sdxl_serve_fps:.3f} frames/s", file=sys.stderr)
+            gp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "gates", f"serve_{args.serve_profile}_xl.json")
+            if os.path.exists(gp):
+                with open(gp) as f:
+                    sdxl_gate = json.load(f).get("psnr_mean_db")
+        except Exception as e:
+            print(f"[bench] SDXL serve sidecar failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+
     result = {
         "metric": f"sdxl_{size}p_pipeline_frames_per_sec_"
                   f"{args.steps}step_1xv5e",
@@ -1095,8 +1132,22 @@ def bench_sdxl(args):
             "inversion_fps": "inversion DDIM loop only, from pre-encoded "
                              "latents",
             "end_to_end_fps": "inversion loop + generation loop + decode",
+            "sdxl_serve_fps": "serve-profile sample loop + VAE decode",
         },
     }
+    if sdxl_serve_fps is not None:
+        result["sdxl_serve_fps"] = round(sdxl_serve_fps, 4)
+        result["sdxl_serve_profile"] = args.serve_profile
+        if sdxl_gate is not None:
+            result["sdxl_serve_gate_db"] = sdxl_gate
+            result["sdxl_serve_gate_source"] = (
+                f"gates/serve_{args.serve_profile}_xl.json")
+        else:
+            result["sdxl_serve_gate_db"] = None
+            result["note_sdxl_serve"] = (
+                "UNGATED at 1024p — run tools/quality_gate.py --sd xl "
+                f"--gate serve_{args.serve_profile} before citing this "
+                "as a serving number")
     print(f"[bench] SDXL generation {t_sample:.1f}s "
           f"({t_sample / args.steps * 1e3:.0f}ms/step), decode "
           f"{elapsed - t_sample:.1f}s (checksum {checksum:.1f}); "

@@ -82,6 +82,20 @@ def test_gen_gate_harness_tiny(qgate, monkeypatch):
     assert 0 < vals[0] < 99.0
 
 
+def test_gen_gate_sd_version_plumbing(qgate):
+    """--sd threads through run_gen_gate -> make_config (the SDXL gate
+    path, measured on TPU via --sd xl): the harness must build the
+    bundle's own model family and still produce a finite PSNR."""
+    bundle = make_tiny_bundle()
+    args = types.SimpleNamespace(seeds=1, frames=4, steps=2, size=64,
+                                 sd="tiny")
+    _, vals = qgate.run_gen_gate(bundle, "int8", args)
+    assert len(vals) == 1 and 0 < vals[0] < 99.0
+    cfg = qgate.make_config(4, 2, 64, 123, sd_version="xl")
+    assert cfg["sd_version"] == "xl"
+    assert cfg["generation"]["batch_size"] == 2  # 1024p decode HBM rule
+
+
 def test_gen_gate_exact_cache_shared_across_gates(qgate, monkeypatch):
     """Gates sharing the same exact config must reuse the cached exact-side
     frames: the second gate's PSNR is unchanged by the cache, and the cache

@@ -53,7 +53,8 @@ def psnr(a, b):
     return 99.0 if mse == 0 else 10.0 * np.log10(1.0 / mse)
 
 
-def make_config(frames, steps, size, seed, **gene_overrides):
+def make_config(frames, steps, size, seed, sd_version="1.5",
+                **gene_overrides):
     from vidtome_tpu.config import Config
 
     gene = {
@@ -66,9 +67,14 @@ def make_config(frames, steps, size, seed, **gene_overrides):
         "global_merge_ratio": 0.8, "global_rand": 0.5,
         "align_batch": False, "save_frame": False,
     }
+    if sd_version == "xl":
+        # 1024p activations: decode at batch 2 (the bench_sdxl HBM
+        # lesson) and no refiner — gate the base serve path only
+        gene.setdefault("batch_size", 2)
     gene.update(gene_overrides)
     return Config({
-        "sd_version": "1.5", "height": size, "width": size, "seed": seed,
+        "sd_version": sd_version, "height": size, "width": size,
+        "seed": seed,
         "work_dir": "/tmp/qgate", "float_precision": "bf16",
         "generation": gene,
     })
@@ -467,7 +473,8 @@ def run_gen_gate(bundle, gate, args, exact_cache=None):
     latent = args.size // 8
 
     def build(over):
-        cfg = make_config(n_frames, args.steps, args.size, 123, **over)
+        cfg = make_config(n_frames, args.steps, args.size, 123,
+                          sd_version=getattr(args, "sd", "1.5"), **over)
         gen = Generator(bundle, cfg)
         gen.configure_frames(n_frames)
         gen.depth = None
@@ -563,11 +570,16 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--sd", default="1.5",
+                    help="model family to gate (1.5 default; 'xl' gates "
+                         "the SDXL base pipeline — artifacts get an _xl "
+                         "suffix so they can't shadow the 512p gates)")
     args = ap.parse_args()
 
     from vidtome_tpu.models.registry import init_model
 
-    bundle = init_model(sd_version="1.5", weight_dtype="bf16")
+    bundle = init_model(sd_version=args.sd, weight_dtype="bf16")
+    suffix = "" if args.sd == "1.5" else f"_{args.sd}"
     latent = args.size // 8
     if args.gate == "all":
         gates = list(GATES)
@@ -584,6 +596,9 @@ def main():
     for gate in gates:
         t0 = time.time()
         if gate in INV_GATES:
+            if suffix:
+                ap.error(f"inversion gates are 1.5-only (got --sd "
+                         f"{args.sd} for {gate})")
             vals = run_inv_gate(bundle, gate, args, inv_gen_cache)
             rec = {
                 "gate": gate,
@@ -601,11 +616,12 @@ def main():
             continue
         n_frames, vals = run_gen_gate(bundle, gate, args, exact_cache)
         rec = {
-            "gate": gate,
+            "gate": gate + suffix,
             "psnr_exact_vs_fast_db": [round(v, 2) for v in vals],
             "psnr_mean_db": round(float(np.mean(vals)), 2),
             "seeds": args.seeds, "frames": n_frames,
             "steps": args.steps, "size": args.size,
+            "sd_version": args.sd,
             "protocol": "per-seed init noise; fixed merge/chunk key (123)",
             "weights": "random (zero-egress proxy)",
             "elapsed_s": round(time.time() - t0, 1),
@@ -615,7 +631,7 @@ def main():
                 share_match_plan_overlap(bundle, args.frames, args.size, s)
                 for s in range(args.seeds)])), 4)
         print(json.dumps(rec))
-        _write_gate_artifact(gate, rec)
+        _write_gate_artifact(gate + suffix, rec)
 
 
 if __name__ == "__main__":

@@ -181,10 +181,6 @@ def main():
         results["bench"] = run_tool_capture(
             "bench.py", [],
             os.path.join(ROOT, "perf", "bench_headline_r5.json"))
-    if "sdxl" in phases:
-        results["sdxl"] = run_tool_capture(
-            "bench.py", ["--sdxl"],
-            os.path.join(ROOT, "perf", "sdxl_r5.json"))
     if "resnet" in phases:
         # external-shortcut kernel sweep over every SD1.5 shape class
         # (projection shapes lost 0.94x/0.68x with the old in-kernel
@@ -205,6 +201,17 @@ def main():
             ["--profiles", "maxe3xb,maxe3xbc8,maxe3xbc16",
              "--skip-exact", "--skip-inv",
              "--out", os.path.join(ROOT, "perf", "serve_race_r5c.json")])
+    if "xlgate" in phases:
+        # gate the shipped serve profile at SDXL 1024p (8 frames bounds
+        # the exact-side cost; artifact gates/serve_<winner>_xl.json)
+        results["xlgate"] = run_tool(
+            "tools/quality_gate.py",
+            ["--sd", "xl", "--gate", f"serve_{args.winner}",
+             "--frames", "8", "--size", "1024"])
+    if "sdxl" in phases:
+        results["sdxl"] = run_tool_capture(
+            "bench.py", ["--sdxl"],
+            os.path.join(ROOT, "perf", "sdxl_r5.json"))
     if "trace0" in phases:
         # op-level trace of the WARMUP block (all-full steps = 69% of the
         # maxe3xb serve wall): what a 472ms full step is made of
