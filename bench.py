@@ -732,6 +732,15 @@ def main():
             result["serve_gate_db"] = gate_rec.get("psnr_mean_db")
             result["serve_gate_source"] = (
                 f"gates/serve_{args.serve_profile}.json")
+            # a profile whose measured gate is sub-35 stays selectable
+            # for experiments but must never read as a serving number
+            result["serve_gate_ok"] = bool(
+                (gate_rec.get("psnr_mean_db") or 0) >= 35.0)
+            if not result["serve_gate_ok"]:
+                print(f"[bench] WARNING: serve_{args.serve_profile} gate "
+                      f"measured {gate_rec.get('psnr_mean_db')} dB < 35 — "
+                      "this is NOT a shippable serving profile",
+                      file=sys.stderr)
         else:
             print(f"[bench] no gates/serve_{args.serve_profile}.json "
                   "artifact — serve_gate_db omitted (run "

@@ -237,6 +237,13 @@ class TestFusedResnet:
         assert not ok(640, 320, 4096, False)  # L0 up bf16 loses: 0.94x
         assert not ok(1280, 640, 1024, False)  # L1 up bf16 loses: 0.68x
         assert not ok(64, 64, 64, False)      # tiny shapes: XLA path
+        # SDXL shapes exceed the real VMEM working set (acc + the
+        # double-buffered [128,9,Op] weight block): the old rows*op
+        # proxy let [*,32,32,1280] through at 17.57M > the 16M scoped
+        # limit (round-5 compile OOM on the chip)
+        assert not ok(1280, 1280, 1024, False)  # SDXL L2 identity
+        assert not ok(640, 640, 4096, False)    # SDXL L1 @64x64
+        assert not ok(320, 320, 16384, False)   # SDXL L0 @128x128
         # "all" bypasses the shape policy (kernel correctness tests)
         blk = ResnetBlock2D(64, dtype=jnp.bfloat16, use_pallas=True,
                             resnet_mode="fused", resnet_policy="all")

@@ -484,7 +484,10 @@ def run_gen_gate(bundle, gate, args, exact_cache=None):
     exact_key = (repr(sorted(exact_over.items(), key=repr)), n_frames)
     fast_gen = build(fast_over)
     exact_gen = None  # built lazily only if a seed misses the cache
-    ctx = fast_gen.text.embed_cfg("quality gate", "ugly, blurry")
+    # _build_context, not text.embed_cfg: the SDXL family wraps the
+    # context with (pooled, time_ids) — embed_cfg alone unpacks wrong
+    # under --sd xl (negative prompt comes from the config either way)
+    ctx = fast_gen._build_context("quality gate")
     vals = []
     for seed in range(args.seeds):
         init = jax.random.normal(

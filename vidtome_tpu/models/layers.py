@@ -271,7 +271,25 @@ class ResnetBlock2D(nn.Module):
         B, H, W, Ci = x.shape
         rows = H * W
         op = -(-self.out_channels // 128) * 128
-        if rows % 8 != 0 or rows * op * 4 > (13 << 20) // 2:
+        if rows % 8 != 0:
+            return False
+        # Real per-core VMEM working set of the larger call (kernel A):
+        # fp32 conv accumulator [rows, Op] + the double-buffered
+        # per-chunk weight block [128, 9, Op] + double-buffered input
+        # chunk [H, W, 128] + double-buffered output m-tile (~1MB cap,
+        # ops/resnet._pick_mr) + the group-collapse matrices [Cp, Gp] x2.
+        # The old `rows*op*4 <= 6.5MB` proxy missed the weight block and
+        # let SDXL's [*, 32, 32, 1280] shape through at 17.57M > the
+        # 16MB scoped limit (real-TPU compile OOM, round 5).
+        cp = -(-Ci // 128) * 128
+        gp = 128
+        vmem = (rows * op * 4                 # acc
+                + 2 * (128 * 9 * op * 2)      # w chunk (bf16/int8<=bf16)
+                + 2 * (rows * 128 * 2)        # x chunk in
+                + 2 * (1 << 20)               # out m-tiles
+                + 2 * (max(cp, op) * gp * 4)  # gdown/gup
+                )
+        if vmem > (14 << 20):
             return False
         if self.resnet_policy == "all":
             return True
