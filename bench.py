@@ -161,6 +161,36 @@ SERVE_PROFILES = {
                     eps_schedule="full:6,uniform:3", eps_extrapolate=True,
                     local_merge_ratio=0.95, global_merge_ratio=0.9,
                     resnet_mode="fused"),
+    # quadratic eps-skip predictor (round 5): Newton-form quadratic
+    # through the last three refreshes instead of a line through two.
+    # maxe3xb2 isolates the order-2 dB delta at the shipped cadence;
+    # maxe4xb2 spends the margin on the next-deeper eps cadence (w4, cfg
+    # deepened to w12 so deep ⊆ cfg ⊆ eps-run without auto-align);
+    # maxe4xb2c6 keeps cfg at the gated w6 (auto-align runs the UNet on
+    # the extra cfg refreshes — a middle speed/dB point); maxe34xb2 is
+    # the piecewise cadence (w3 mid-trajectory, w4 tail).  Promotion
+    # requires the matching gates/serve_<name>.json >= 35 dB.
+    "maxe3xb2": dict(cache_schedule="full:6,uniform:12",
+                     cfg_schedule="full:6,uniform:6",
+                     eps_schedule="full:6,uniform:3", eps_extrapolate=2,
+                     local_merge_ratio=0.95, global_merge_ratio=0.9,
+                     resnet_mode="fused"),
+    "maxe4xb2": dict(cache_schedule="full:6,uniform:12",
+                     cfg_schedule="full:6,uniform:12",
+                     eps_schedule="full:6,uniform:4", eps_extrapolate=2,
+                     local_merge_ratio=0.95, global_merge_ratio=0.9,
+                     resnet_mode="fused"),
+    "maxe4xb2c6": dict(cache_schedule="full:6,uniform:12",
+                       cfg_schedule="full:6,uniform:6",
+                       eps_schedule="full:6,uniform:4", eps_extrapolate=2,
+                       local_merge_ratio=0.95, global_merge_ratio=0.9,
+                       resnet_mode="fused"),
+    "maxe34xb2": dict(cache_schedule="full:6,uniform:12",
+                      cfg_schedule="full:6,uniform:6",
+                      eps_schedule="full:6,every:3x18,uniform:4",
+                      eps_extrapolate=2,
+                      local_merge_ratio=0.95, global_merge_ratio=0.9,
+                      resnet_mode="fused"),
     # chunk-size push on the deep bf16 schedule (round 5): chunk 8/16
     # batches 2-4x the frames per UNet call (fewer dispatches + bank
     # merges, fuller MXU) and local F->1 merging over more frames
@@ -228,6 +258,11 @@ INV_SERVE_PROFILES = {
                    "inv_eps_w2f16n"),
     "eps_w4x": (dict(eps_schedule="full:6,uniform:4",
                      eps_extrapolate=True), "inv_eps_w4x"),
+    # quadratic skip predictor (order 2); see SERVE_PROFILES maxe*2 note
+    "eps_w3x2": (dict(eps_schedule="full:6,uniform:3",
+                      eps_extrapolate=2), "inv_eps_w3x2"),
+    "eps_w4x2": (dict(eps_schedule="full:6,uniform:4",
+                      eps_extrapolate=2), "inv_eps_w4x2"),
     # interleaved: deep-shallow on half the run steps, eps-skip the odds
     "cache_w6_eps_w2": (dict(cache_schedule="full:6,uniform:6",
                              eps_schedule="full:6,uniform:2"),

@@ -136,6 +136,40 @@ class TestGeneratorEpsCache:
                                  eps_extrapolate=True)
         assert np.isfinite(frames).all()
 
+    def test_skip_step_quadratic(self, bundle, video_dir, tmp_path):
+        """Refreshes at steps 0,1,2 then a skip at step 3 with
+        eps_extrapolate=2: Newton-form quadratic through three equally
+        spaced nodes extrapolates eps_hat = 3*eps2 - 3*eps1 + eps0."""
+        gen, xs = _stepper(bundle, tmp_path, video_dir, n_steps=5,
+                           eps_schedule="full:3,shallow:1,uniform:1",
+                           eps_extrapolate=2)
+        alphas = [[float(a) for a in gen.scheduler.sample_alpha_pair(i)]
+                  for i in range(4)]
+        eps = [_eps_from_update(xs[i], xs[i + 1], *alphas[i])
+               for i in range(3)]
+        pred = np.asarray(ddim_step(
+            jnp.asarray(xs[3]),
+            jnp.asarray(3.0 * eps[2] - 3.0 * eps[1] + eps[0]),
+            alphas[3][0], alphas[3][1]))
+        np.testing.assert_allclose(xs[4], pred, rtol=5e-3, atol=5e-3)
+
+    def test_quadratic_with_two_refreshes_is_linear(self, bundle,
+                                                    video_dir, tmp_path):
+        """Order 2 with only two distinct refreshes in history must NOT
+        fake curvature from the aliased prev2 slot: the step-2 skip
+        equals the linear prediction 2*eps1 - eps0."""
+        gen, xs = _stepper(bundle, tmp_path, video_dir, n_steps=4,
+                           eps_schedule="full:2,shallow:1,uniform:1",
+                           eps_extrapolate=2)
+        a = [[float(v) for v in gen.scheduler.sample_alpha_pair(i)]
+             for i in range(3)]
+        eps0 = _eps_from_update(xs[0], xs[1], *a[0])
+        eps1 = _eps_from_update(xs[1], xs[2], *a[1])
+        pred = np.asarray(ddim_step(
+            jnp.asarray(xs[2]), jnp.asarray(2.0 * eps1 - eps0),
+            a[2][0], a[2][1]))
+        np.testing.assert_allclose(xs[3], pred, rtol=5e-3, atol=5e-3)
+
     def test_composes_with_deep_and_cfg_caches(self, bundle, video_dir,
                                                tmp_path):
         frames = _run_generation(bundle, tmp_path / "a", video_dir,
@@ -203,6 +237,12 @@ class TestInverterEps:
                          eps_extrapolate=True)
         assert np.isfinite(b).all()
 
+    def test_quadratic_extrapolate_runs(self, bundle, video_dir, tmp_path):
+        b = self._invert(bundle, tmp_path / "b", video_dir,
+                         eps_schedule="full:3,uniform:2",
+                         eps_extrapolate=2)
+        assert np.isfinite(b).all()
+
     def test_aligns_with_deep_cache(self, bundle, video_dir, tmp_path,
                                     capsys):
         """Deep refreshes on eps-skip steps force those steps to run."""
@@ -211,6 +251,53 @@ class TestInverterEps:
                          eps_schedule="full:2,uniform:2")
         assert np.isfinite(b).all()
         assert "auto-aligned" in capsys.readouterr().out
+
+
+def test_extrap_weights_orders():
+    """Host-side weights mirror the in-graph predictor: order reduction
+    on short/aliased history, exact Lagrange at full history."""
+    from vidtome_tpu.pipeline.generator import extrap_weights
+
+    assert extrap_weights(5, 4, -1, -1, 2) == (1.0, 0.0, 0.0)
+    assert extrap_weights(5, 4, 4, 4, 2) == (1.0, 0.0, 0.0)
+    # two distinct nodes: linear (t=6 from s2=4, s1=2 -> f=1)
+    np.testing.assert_allclose(extrap_weights(6, 4, 2, 2, 2),
+                               (2.0, -1.0, 0.0))
+    # order 1 ignores a full history
+    np.testing.assert_allclose(extrap_weights(3, 2, 1, 0, 1),
+                               (2.0, -1.0, 0.0))
+    # three equally spaced nodes at t = s2 + 1: (3, -3, 1)
+    np.testing.assert_allclose(extrap_weights(3, 2, 1, 0, 2),
+                               (3.0, -3.0, 1.0))
+    # weights always sum to 1 (affine invariance)
+    for t, s2, s1, s0 in ((7, 5, 3, 2), (10, 6, 5, 1)):
+        np.testing.assert_allclose(
+            sum(extrap_weights(t, s2, s1, s0, 2)), 1.0, atol=1e-12)
+
+
+def test_refresh_mask_every_segment():
+    """every:NxK runs an every-Nth cadence for a bounded span, then hands
+    off to the next segment (piecewise schedules like w3-then-w4)."""
+    from vidtome_tpu.pipeline.generator import refresh_mask
+
+    m = refresh_mask("full:2,every:2x4,uniform:3", 1, 12)
+    assert list(np.where(m)[0]) == [0, 1, 2, 4, 6, 9]
+    # every as the only windowed segment, remainder defaults to refresh
+    m2 = refresh_mask("full:1,every:3x6", 1, 10)
+    assert list(np.where(m2)[0]) == [0, 1, 4, 7, 8, 9]
+    with pytest.raises(ValueError, match="NxK"):
+        refresh_mask("full:1,every:3", 1, 10)
+    with pytest.raises(ValueError, match=">= 1"):
+        refresh_mask("every:0x4", 1, 10)
+
+
+def test_eps_extrapolate_validation(bundle, tmp_path):
+    from vidtome_tpu.pipeline.generator import Generator
+
+    cfg = _gen_config(str(tmp_path), "unused", eps_interval=2,
+                      eps_extrapolate=3)
+    with pytest.raises(ValueError, match="eps_extrapolate"):
+        Generator(bundle, cfg, use_pallas=False)
 
 
 def test_pnp_rejects_eps_cache(bundle, tmp_path):

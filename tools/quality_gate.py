@@ -280,6 +280,45 @@ GATES = {
                              "local_merge_ratio": 0.95,
                              "global_merge_ratio": 0.9,
                              "resnet_mode": "fused"}),
+    # quadratic eps extrapolation (round 5): the skip predictor fits a
+    # Newton-form quadratic through the last THREE refreshes instead of a
+    # line through two.  maxe3xb2 isolates the order-2 dB delta on the
+    # shipped cadence; maxe4xb2 spends it on the next-deeper eps cadence
+    # (uniform:4, with cfg deepened to w12 so deep ⊆ cfg ⊆ eps-run holds
+    # without auto-align repairs); maxe4xb2c6 keeps cfg at the gated w6
+    # (the eps-run mask auto-aligns upward over the extra cfg refreshes —
+    # strictly more compute, a middle point on the speed/dB curve).
+    "serve_maxe3xb2": ({}, {"cache_schedule": "full:6,uniform:12",
+                            "cfg_schedule": "full:6,uniform:6",
+                            "eps_schedule": "full:6,uniform:3",
+                            "eps_extrapolate": 2,
+                            "local_merge_ratio": 0.95,
+                            "global_merge_ratio": 0.9,
+                            "resnet_mode": "fused"}),
+    "serve_maxe4xb2": ({}, {"cache_schedule": "full:6,uniform:12",
+                            "cfg_schedule": "full:6,uniform:12",
+                            "eps_schedule": "full:6,uniform:4",
+                            "eps_extrapolate": 2,
+                            "local_merge_ratio": 0.95,
+                            "global_merge_ratio": 0.9,
+                            "resnet_mode": "fused"}),
+    "serve_maxe4xb2c6": ({}, {"cache_schedule": "full:6,uniform:12",
+                              "cfg_schedule": "full:6,uniform:6",
+                              "eps_schedule": "full:6,uniform:4",
+                              "eps_extrapolate": 2,
+                              "local_merge_ratio": 0.95,
+                              "global_merge_ratio": 0.9,
+                              "resnet_mode": "fused"}),
+    # piecewise eps cadence (every:NxK segments): w3 through the
+    # structure-forming mid-trajectory, w4 for the low-noise tail where
+    # eps varies slowest — a frontier point between maxe3xb and maxe4xb2
+    "serve_maxe34xb2": ({}, {"cache_schedule": "full:6,uniform:12",
+                             "cfg_schedule": "full:6,uniform:6",
+                             "eps_schedule": "full:6,every:3x18,uniform:4",
+                             "eps_extrapolate": 2,
+                             "local_merge_ratio": 0.95,
+                             "global_merge_ratio": 0.9,
+                             "resnet_mode": "fused"}),
     # chunk-size push (round 5): larger chunks batch more frames per UNet
     # call (better MXU utilization, half/quarter the bank merges and
     # dispatches) AND merge harder locally — local F->1 merging over 8/16
@@ -361,6 +400,13 @@ INV_GATES = {
                          "eps_extrapolate": True}),
     "inv_eps_w3x": ({}, {"eps_schedule": "full:6,uniform:3",
                          "eps_extrapolate": True}),
+    # quadratic skip predictor on the inversion loop (inv_eps_w4x linear
+    # measured 29.62 dB — the w3->w4 cliff is steep; these measure how
+    # much of it order 2 recovers, and whether order 2 pads w3's margin)
+    "inv_eps_w3x2": ({}, {"eps_schedule": "full:6,uniform:3",
+                          "eps_extrapolate": 2}),
+    "inv_eps_w4x2": ({}, {"eps_schedule": "full:6,uniform:4",
+                          "eps_extrapolate": 2}),
     # interleaved deep-shallow + eps-skip: run steps at evens (deep-full
     # every 6th, shallow otherwise), eps-skip the odd steps
     "inv_cache_w6_eps_w2": ({}, {"cache_schedule": "full:6,uniform:6",

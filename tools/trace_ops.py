@@ -197,6 +197,7 @@ def main():
     data = jax.profiler.ProfileData.from_file(files[0])
     by_name: dict[str, float] = collections.defaultdict(float)
     by_cat: dict[str, float] = collections.defaultdict(float)
+    skipped: dict[str, float] = collections.defaultdict(float)
     total = 0.0
     skip = re.compile(
         r"^%?(while|copy-start|slice-start|copy-done|slice-done|"
@@ -210,8 +211,14 @@ def main():
             if "xla op" not in lname and "xla ops" not in lname:
                 continue
             for ev in line.events:
-                if skip.match(ev.name):
-                    continue  # loop wrappers + async DMA (overlaps compute)
+                m_skip = skip.match(ev.name)
+                if m_skip:
+                    # loop wrappers + async DMA: excluded from the op
+                    # accounting, but TRACKED — if the wall-vs-ops gap
+                    # lives here, the DMA is NOT fully overlapped and
+                    # that is itself the finding
+                    skipped[m_skip.group(1)] += ev.duration_ns / 1e6
+                    continue
                 dur = ev.duration_ns / 1e6
                 # collapse "%fusion.1234" -> "fusion" family for ranking
                 fam = re.sub(r"\.\d+.*$", "", ev.name.lstrip("%"))
@@ -234,6 +241,36 @@ def main():
     print("\ntop 40 op families (ms/step):")
     for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
         print(f"  {ms / n_steps_traced:8.2f}  {name[:100]}")
+    print("\nskipped wrapper/async-DMA events (ms/step, overlap unknown):")
+    for name, ms in sorted(skipped.items(), key=lambda kv: -kv[1]):
+        print(f"  {ms / n_steps_traced:8.2f}  {name}")
+    out_path = next((a.split("=", 1)[1] for a in sys.argv
+                     if a.startswith("--out=")), None)
+    if out_path:
+        import json
+
+        rec = {
+            "profile": profile, "block": trace_block,
+            "frames": frames, "steps_per_block": block, "size": size,
+            "backend": jax.default_backend(),
+            "device_ms_per_step": round(total / n_steps_traced, 2),
+            "by_category_ms_per_step": {
+                k: round(v / n_steps_traced, 3)
+                for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])},
+            "top_families_ms_per_step": {
+                k[:120]: round(v / n_steps_traced, 3)
+                for k, v in sorted(by_name.items(),
+                                   key=lambda kv: -kv[1])[:40]},
+            "skipped_events_ms_per_step": {
+                k: round(v / n_steps_traced, 3)
+                for k, v in sorted(skipped.items(), key=lambda kv: -kv[1])},
+            "scope": "jax.profiler device events of one warm sample "
+                     "block, aggregated by op family; skipped_events are "
+                     "loop wrappers + async DMA (may overlap compute)",
+        }
+        with open(out_path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

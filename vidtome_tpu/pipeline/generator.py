@@ -49,6 +49,9 @@ def refresh_mask(spec: str | None, interval: int, num_steps: int,
 
       * ``full:K``    — K consecutive refresh (full) steps;
       * ``shallow:K`` — K consecutive cached (shallow) steps;
+      * ``every:NxK`` — every-Nth refresh for the next K steps (piecewise
+                        cadences: e.g. denser refreshes through the
+                        structure-forming mid-trajectory, sparser late);
       * ``uniform:N`` — every-Nth refresh for the remaining steps
                         (must be the last segment).
 
@@ -60,12 +63,26 @@ def refresh_mask(spec: str | None, interval: int, num_steps: int,
     if spec:
         segments = [s.strip() for s in str(spec).split(",") if s.strip()]
         for seg_no, seg in enumerate(segments):
-            kind, _, arg = seg.partition(":")
-            if kind not in ("full", "shallow", "uniform") or not arg:
+            seg_kind, _, arg = seg.partition(":")
+            if seg_kind not in ("full", "shallow", "uniform",
+                                "every") or not arg:
                 raise ValueError(f"bad cache schedule segment {seg!r} "
                                  f"in {spec!r}")
+            if seg_kind == "every":
+                n_s, _, span_s = arg.partition("x")
+                if not n_s or not span_s:
+                    raise ValueError(f"'every' segment needs NxK (every-"
+                                     f"Nth for K steps): {seg!r}")
+                n, span = int(n_s), int(span_s)
+                if n < 1 or span < 1:
+                    raise ValueError(f"every:NxK needs N,K >= 1: {seg!r}")
+                stop = min(i + span, num_steps)
+                for j in range(i, stop):
+                    mask[j] = (j - i) % n == 0
+                i = stop
+                continue
             n = int(arg)
-            if kind == "uniform":
+            if seg_kind == "uniform":
                 if seg_no != len(segments) - 1:
                     raise ValueError(
                         f"'uniform' must be the last segment: {spec!r}")
@@ -77,7 +94,7 @@ def refresh_mask(spec: str | None, interval: int, num_steps: int,
                 i = num_steps
             else:
                 stop = min(i + n, num_steps)
-                mask[i:stop] = kind == "full"
+                mask[i:stop] = seg_kind == "full"
                 i = stop
         # steps past the listed segments (no trailing uniform): refresh
         mask[i:] = True
@@ -93,6 +110,25 @@ def refresh_mask(spec: str | None, interval: int, num_steps: int,
         raise ValueError(f"{what} (step {start}, spec {spec!r}): "
                          "the cache starts empty")
     return mask
+
+
+def extrap_weights(t: float, s2: float, s1: float, s0: float,
+                   order: int) -> tuple[float, float, float]:
+    """Combination weights (w2, w1, w0) for an eps-skip prediction at step
+    ``t`` from the last refreshes at steps s2 (newest), s1, s0:
+    eps_hat = w2*eps2 + w1*eps1 + w0*eps0.  Order reduces automatically
+    while the history is short (duplicate/missing nodes): 0 or one
+    refresh -> plain reuse; two -> linear; three (order 2) -> quadratic
+    Lagrange.  Host-side twin of the generator's in-graph Newton form."""
+    if order < 1 or s1 < 0 or s1 == s2:
+        return 1.0, 0.0, 0.0
+    if order < 2 or s0 < 0 or s0 == s1:
+        f = (t - s2) / (s2 - s1)
+        return 1.0 + f, -f, 0.0
+    w0 = (t - s1) * (t - s2) / ((s0 - s1) * (s0 - s2))
+    w1 = (t - s0) * (t - s2) / ((s1 - s0) * (s1 - s2))
+    w2 = (t - s0) * (t - s1) / ((s2 - s0) * (s2 - s1))
+    return w2, w1, w0
 
 
 class Generator:
@@ -196,8 +232,11 @@ class Generator:
         # Eps-reuse step skip (third serving cache, quality-gated like the
         # other two): steps whose eps-mask entry is False run NO UNet at
         # all — the DDIM update reuses the last computed guidance-combined
-        # eps (optionally linearly extrapolated from the last two refresh
-        # steps, ``eps_extrapolate``).  The deep/CFG caches cannot refresh
+        # eps (optionally extrapolated from the trailing refresh steps,
+        # ``eps_extrapolate``: true/1 = linear through the last two,
+        # 2 = quadratic through the last three — the multistep-solver
+        # trick applied to the skip predictor, buying gate margin for
+        # deeper skip cadences).  The deep/CFG caches cannot refresh
         # on a skipped step, so _mode_masks force-aligns the eps-run mask
         # over every ACTIVE cache's refresh steps (strictly more compute
         # than requested; quality can only improve).  No reference
@@ -206,7 +245,10 @@ class Generator:
         self.eps_interval = int(gene.get("eps_interval", 0) or 0)
         self.eps_schedule = gene.get("eps_schedule") or None
         self.eps_on = bool(self.eps_interval or self.eps_schedule)
-        self.eps_extrapolate = bool(gene.get("eps_extrapolate", False))
+        self.eps_extrapolate = int(gene.get("eps_extrapolate", 0) or 0)
+        if self.eps_extrapolate not in (0, 1, 2):
+            raise ValueError("eps_extrapolate must be false/true/1/2 "
+                             f"(got {self.eps_extrapolate!r})")
         self.cache_on = bool(self.cache_interval or self.cache_schedule)
         self.cfg_on = bool(self.cfg_interval or self.cfg_schedule)
         if self.eps_on and self.use_pnp:
@@ -570,12 +612,20 @@ class Generator:
                 step_f = step_i.astype(jnp.float32)
                 if eps_extrapolate:
                     first = caches["eps_step"] < 0
-                    caches = dict(
-                        caches,
+                    upd = dict(
                         eps_prev=jnp.where(first, eps32, caches["eps"]),
                         eps_prev_step=jnp.where(first, step_f,
                                                 caches["eps_step"]),
                         eps=eps32, eps_step=step_f)
+                    if eps_extrapolate >= 2:
+                        # three-deep history: prev2 <- prev (aliases on
+                        # the first refreshes; the skip predictor gates
+                        # the quadratic term on distinct step indices)
+                        upd["eps_prev2"] = jnp.where(first, eps32,
+                                                     caches["eps_prev"])
+                        upd["eps_prev2_step"] = jnp.where(
+                            first, step_f, caches["eps_prev_step"])
+                    caches = dict(caches, **upd)
                 else:
                     caches = dict(caches, eps=eps32)
             a_t_tab, a_prev_tab = alpha_tables
@@ -641,19 +691,34 @@ class Generator:
 
                 def skip_step(operands):
                     # eps-reuse step: NO UNet call — the DDIM update runs
-                    # on the cached guidance-combined eps, linearly
-                    # extrapolated from the last two refreshes when
-                    # eps_extrapolate is on (slope scaled by the step
-                    # distance, so any refresh cadence extrapolates
-                    # consistently).
+                    # on the cached guidance-combined eps, extrapolated
+                    # from the trailing refreshes when eps_extrapolate is
+                    # on: order 1 = linear along the last refresh slope,
+                    # order 2 = Newton-form quadratic through the last
+                    # three refreshes (slopes scaled by step distances,
+                    # so any refresh cadence extrapolates consistently).
                     x, caches = operands
                     e = caches["eps"]
                     if eps_extrapolate:
-                        gap = caches["eps_step"] - caches["eps_prev_step"]
-                        factor = ((step_i.astype(jnp.float32)
-                                   - caches["eps_step"])
-                                  / jnp.maximum(gap, 1.0))
-                        e = e + factor * (e - caches["eps_prev"])
+                        t = step_i.astype(jnp.float32)
+                        s2v = caches["eps_step"]
+                        s1v = caches["eps_prev_step"]
+                        # before the second refresh eps_prev aliases eps,
+                        # so d1 == 0 and this degrades to plain reuse
+                        d1 = ((e - caches["eps_prev"])
+                              / jnp.maximum(s2v - s1v, 1.0))
+                        e = e + (t - s2v) * d1
+                        if eps_extrapolate >= 2:
+                            s0v = caches["eps_prev2_step"]
+                            d2 = ((caches["eps_prev"] - caches["eps_prev2"])
+                                  / jnp.maximum(s1v - s0v, 1.0))
+                            # curvature only once three DISTINCT refreshes
+                            # exist (aliased history would fake curvature)
+                            dd = jnp.where(
+                                s1v > s0v,
+                                (d1 - d2) / jnp.maximum(s2v - s0v, 1.0),
+                                0.0)
+                            e = e + (t - s2v) * (t - s1v) * dd
                     a_t_tab, a_prev_tab = alpha_tables
                     x2 = ddim_step(x, e, a_t_tab[step_i],
                                    a_prev_tab[step_i])
@@ -716,6 +781,9 @@ class Generator:
             bufs["eps_prev"] = jnp.zeros(x.shape[:3] + (4,), jnp.float32)
             bufs["eps_step"] = jnp.full((), -1.0, jnp.float32)
             bufs["eps_prev_step"] = jnp.full((), -1.0, jnp.float32)
+        if self.eps_on and self.eps_extrapolate >= 2:
+            bufs["eps_prev2"] = jnp.zeros(x.shape[:3] + (4,), jnp.float32)
+            bufs["eps_prev2_step"] = jnp.full((), -1.0, jnp.float32)
         return bufs
 
     def _mode_masks(self, start: int = 0):

@@ -64,13 +64,18 @@ class Inverter:
         # Eps-reuse step skip (same third serving cache as generation,
         # pipeline/generator.py): steps whose eps mask is False run no
         # UNet — the DDIM (inverse) update reuses the last computed eps,
-        # optionally linearly extrapolated from the last two refreshes.
-        # Schedule specs follow the same DIRECTION NOTE as above
-        # (inversion step order; ``cache_reverse`` flips this mask too).
+        # optionally extrapolated from the trailing refreshes
+        # (``eps_extrapolate``: true/1 = linear, 2 = quadratic — same
+        # orders as generation).  Schedule specs follow the same
+        # DIRECTION NOTE as above (inversion step order;
+        # ``cache_reverse`` flips this mask too).
         self.eps_interval = int(inv.get("eps_interval", 0) or 0)
         self.eps_schedule = inv.get("eps_schedule") or None
         self.eps_on = bool(self.eps_interval or self.eps_schedule)
-        self.eps_extrapolate = bool(inv.get("eps_extrapolate", False))
+        self.eps_extrapolate = int(inv.get("eps_extrapolate", 0) or 0)
+        if self.eps_extrapolate not in (0, 1, 2):
+            raise ValueError("eps_extrapolate must be false/true/1/2 "
+                             f"(got {self.eps_extrapolate!r})")
         self.n_frames = inv.get("n_frames", None)
         self.force = bool(inv.get("force", False))
         self.recon = bool(inv.get("recon", False))
@@ -247,11 +252,13 @@ class Inverter:
 
         @functools.partial(jax.jit, static_argnames=("inversion",),
                            donate_argnums=(0,))
-        def skip_step(x, eps, eps_prev, factor, tables, step_i, inversion):
+        def skip_step(x, eps, eps_prev, eps_prev2, w2, w1, w0, tables,
+                      step_i, inversion):
             """Eps-reuse step: no UNet — the DDIM (inverse) update runs on
-            the cached eps, extrapolated by ``factor`` along the last
-            refresh-to-refresh slope (factor 0 = plain reuse)."""
-            e = eps + factor * (eps - eps_prev)
+            a weighted combination of the last (up to) three refreshed
+            eps: plain reuse (1,0,0), linear or quadratic extrapolation
+            (weights from generator.extrap_weights)."""
+            e = w2 * eps + w1 * eps_prev + w0 * eps_prev2
             a = tables["inv_a"][step_i] if inversion else \
                 tables["smp_a"][step_i]
             fn = ddim_inverse_step if inversion else ddim_step
@@ -319,16 +326,21 @@ class Inverter:
                                  "first step: the eps cache starts empty")
         else:
             eps_mask = None
-        eps = eps_prev = None
-        s_last, s_prev = -1, -1
+        eps = eps_prev = eps_prev2 = None
+        s_last, s_prev, s_prev2 = -1, -1, -1
         for i in range(n_steps):
             if eps_mask is not None and not eps_mask[i]:
                 # eps-reuse skip: no UNet dispatch at all this step
-                factor = ((i - s_last) / max(s_last - s_prev, 1)
-                          if self.eps_extrapolate and s_prev >= 0 else 0.0)
-                x = self._skip_step(x, eps, eps if eps_prev is None
-                                    else eps_prev,
-                                    jnp.asarray(factor, jnp.float32),
+                from vidtome_tpu.pipeline.generator import extrap_weights
+
+                w2, w1, w0 = extrap_weights(i, s_last, s_prev, s_prev2,
+                                            self.eps_extrapolate)
+                e1 = eps if eps_prev is None else eps_prev
+                e0 = e1 if eps_prev2 is None else eps_prev2
+                x = self._skip_step(x, eps, e1, e0,
+                                    jnp.asarray(w2, jnp.float32),
+                                    jnp.asarray(w1, jnp.float32),
+                                    jnp.asarray(w0, jnp.float32),
                                     self._tables, jnp.asarray(i, jnp.int32),
                                     inversion)
                 if on_step is not None:
@@ -343,8 +355,10 @@ class Inverter:
                                   keep_eps=self.eps_on)
             if self.eps_on:
                 x, deep, eps_new = out
+                eps_prev2 = eps_prev if eps_prev is not None else eps_new
                 eps_prev, eps = (eps if eps is not None else eps_new), \
                     eps_new
+                s_prev2 = s_prev if s_prev >= 0 else i
                 s_prev, s_last = (s_last if s_last >= 0 else i), i
             else:
                 x, deep = out
