@@ -161,6 +161,15 @@ SERVE_PROFILES = {
                     eps_schedule="full:6,uniform:3", eps_extrapolate=True,
                     local_merge_ratio=0.95, global_merge_ratio=0.9,
                     resnet_mode="fused"),
+    # fused transformer cross-attention sublayer (ops/sublayer.py): one
+    # Pallas call per block for add+LN2+to_q+cross-attn+to_out+add+LN3.
+    # Numerics change slightly (fusion rounding points), so the combined
+    # profile carries its own gate.
+    "maxe3xbs": dict(cache_schedule="full:6,uniform:12",
+                     cfg_schedule="full:6,uniform:6",
+                     eps_schedule="full:6,uniform:3", eps_extrapolate=True,
+                     local_merge_ratio=0.95, global_merge_ratio=0.9,
+                     resnet_mode="fused", sublayer_mode="fused"),
     # quadratic eps-skip predictor (round 5): Newton-form quadratic
     # through the last three refreshes instead of a line through two.
     # maxe3xb2 isolates the order-2 dB delta at the shipped cadence;

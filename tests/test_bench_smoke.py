@@ -105,7 +105,8 @@ def test_serve_profiles_schema(bench):
     allowed = {"quant", "cache_schedule", "cfg_schedule", "eps_schedule",
                "eps_interval", "cache_interval", "cfg_interval",
                "eps_extrapolate", "local_merge_ratio",
-               "global_merge_ratio", "resnet_mode", "chunk_boundaries",
+               "global_merge_ratio", "resnet_mode", "sublayer_mode",
+               "chunk_boundaries",
                "len_quantum", "steps_per_block", "chunk_size"}
     for name, prof in bench.SERVE_PROFILES.items():
         unknown = set(prof) - allowed

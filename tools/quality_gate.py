@@ -280,6 +280,17 @@ GATES = {
                              "local_merge_ratio": 0.95,
                              "global_merge_ratio": 0.9,
                              "resnet_mode": "fused"}),
+    # fused cross-attention sublayer (ops/sublayer.py) on the shipped
+    # schedule: numerics shift only at fusion rounding points, but the
+    # artifact rule is the artifact rule
+    "serve_maxe3xbs": ({}, {"cache_schedule": "full:6,uniform:12",
+                            "cfg_schedule": "full:6,uniform:6",
+                            "eps_schedule": "full:6,uniform:3",
+                            "eps_extrapolate": True,
+                            "local_merge_ratio": 0.95,
+                            "global_merge_ratio": 0.9,
+                            "resnet_mode": "fused",
+                            "sublayer_mode": "fused"}),
     # quadratic eps extrapolation (round 5): the skip predictor fits a
     # Newton-form quadratic through the last THREE refreshes instead of a
     # line through two.  maxe3xb2 isolates the order-2 dB delta on the

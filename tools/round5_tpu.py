@@ -212,6 +212,45 @@ def main():
         results["sdxl"] = run_tool_capture(
             "bench.py", ["--sdxl"],
             os.path.join(ROOT, "perf", "sdxl_r5.json"))
+    if "qgates" in phases:
+        # quadratic eps-skip predictor frontier: order-2 dB delta at the
+        # shipped cadence (maxe3xb2), the deeper w4 cadences it might
+        # unlock (maxe4xb2 / maxe4xb2c6), and the piecewise w3->w4
+        # cadence (maxe34xb2); inversion-side w3/w4 quads
+        results["qgates"] = run_tool(
+            "tools/quality_gate.py",
+            ["--gate",
+             "serve_maxe3xb2,serve_maxe4xb2,serve_maxe4xb2c6,"
+             "serve_maxe34xb2"])
+        results["qgates_inv"] = run_tool(
+            "tools/quality_gate.py",
+            ["--gate", "inv_eps_w3x2,inv_eps_w4x2"])
+    if "qrace" in phases:
+        results["qrace"] = run_tool(
+            "tools/exp_serve_race.py",
+            ["--profiles", "maxe3xb,maxe4xb2,maxe4xb2c6,maxe34xb2",
+             "--inv-profiles", "eps_w3x,eps_w4x2",
+             "--skip-exact",
+             "--out", os.path.join(ROOT, "perf", "serve_race_r5q.json")])
+    if "srace" in phases:
+        # fused cross-attention sublayer kernel: in-graph win or loss
+        # (§8.1/§8.3 both looked good on paper and measured worse — only
+        # the race decides)
+        results["srace"] = run_tool(
+            "tools/exp_serve_race.py",
+            ["--profiles", "maxe3xb,maxe3xbs",
+             "--skip-exact", "--skip-inv",
+             "--out", os.path.join(ROOT, "perf", "serve_race_r5s.json")])
+    if "tracefull" in phases:
+        # full per-family artifact incl. skipped async-DMA totals: the
+        # 472ms full-step wall vs ~334ms of counted ops leaves ~138ms
+        # unattributed — find out whether it is unoverlapped DMA,
+        # gather/scatter families below the old top-8, or dispatch gaps
+        for blk in (0, 1):
+            results[f"tracefull{blk}"] = run_tool(
+                "tools/trace_ops.py",
+                [f"--profile={args.winner}", f"--block={blk}",
+                 f"--out={os.path.join(ROOT, 'perf', f'trace_{args.winner}_b{blk}_full_r5.json')}"])
     if "trace0" in phases:
         # op-level trace of the WARMUP block (all-full steps = 69% of the
         # maxe3xb serve wall): what a 472ms full step is made of

@@ -464,6 +464,43 @@ def _layer_norm(x, name, eps=1e-5):
     return nn.LayerNorm(epsilon=eps, dtype=x.dtype, name=name)(x)
 
 
+class _DenseParams(nn.Module):
+    """QDense-compatible (kernel[, bias]) declaration without the compute
+    (kernel-first: same init-RNG stream as QDense) — used by the fused
+    cross-attention sublayer so both dispatch modes create the identical
+    parameter tree."""
+
+    shape: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = (self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+             if self.use_bias else None)
+        return k, b
+
+
+class _AttnParams(nn.Module):
+    """CrossAttention-compatible parameter tree (to_q/to_k/to_v/to_out in
+    that creation order) for the fused sublayer path."""
+
+    query_dim: int
+    inner: int
+    context_dim: int
+
+    @nn.compact
+    def __call__(self):
+        wq, _ = _DenseParams((self.query_dim, self.inner), use_bias=False,
+                             name="to_q")()
+        wk, _ = _DenseParams((self.context_dim, self.inner),
+                             use_bias=False, name="to_k")()
+        wv, _ = _DenseParams((self.context_dim, self.inner),
+                             use_bias=False, name="to_v")()
+        wo, bo = _DenseParams((self.inner, self.query_dim), name="to_out")()
+        return wq, wk, wv, wo, bo
+
+
 class TransformerBlock(nn.Module):
     """Transformer block with integrated cross-frame token merging.
 
@@ -481,6 +518,23 @@ class TransformerBlock(nn.Module):
     tome: Optional[ToMeConfig] = None
     dtype: Any = jnp.bfloat16
     use_pallas: Optional[bool] = None
+    # "fused" routes the add+LN2+attn2+add+LN3 chain through the Pallas
+    # sublayer kernel (ops/sublayer.py) — bf16 TPU serving only; the
+    # parameter tree is identical in both modes
+    sublayer_mode: str = "off"
+
+    def _fused_sublayer_ok(self, cfg, do_merge) -> bool:
+        if self.sublayer_mode != "fused" or self.dtype != jnp.bfloat16:
+            return False
+        if self.heads * self.head_dim != self.dim:
+            return False
+        # LDM-variant merging wraps attn2/ff in merge/unmerge — the
+        # fused chain (which owns both residual adds) does not apply
+        if do_merge and (cfg.merge_crossattn or cfg.merge_ff):
+            return False
+        use = (self.use_pallas if self.use_pallas is not None
+               else jax.default_backend() == "tpu")
+        return bool(use)
 
     @nn.compact
     def __call__(self, x, context, tome_call: Optional[ToMeCall] = None,
@@ -596,6 +650,29 @@ class TransformerBlock(nn.Module):
                 dtype=self.dtype, use_pallas=self.use_pallas, name="attn1",
             )(norm_x, share_qk=attn_inject, num_lanes=num_lanes)
 
+        if self._fused_sublayer_ok(cfg, do_merge):
+            # one Pallas call for add+LN2+to_q+cross-attn+to_out+add+LN3
+            # (ops/sublayer.py); K/V from the 77-token context stay two
+            # tiny XLA matmuls.  Parameter creation order matches the
+            # standard path exactly (norm2, attn2, norm3, ff).
+            from vidtome_tpu.ops.sublayer import fused_cross_sublayer
+
+            n2s, n2b = _ParamPair(self.dim, name="norm2")()
+            wq, wk, wv, wo, bo = _AttnParams(
+                self.dim, self.heads * self.head_dim, self.context_dim,
+                name="attn2")()
+            n3s, n3b = _ParamPair(self.dim, name="norm3")()
+            ctx = context.astype(self.dtype)
+            kctx = jnp.dot(ctx, wk.astype(self.dtype))
+            vctx = jnp.dot(ctx, wv.astype(self.dtype))
+            x3, y3 = fused_cross_sublayer(
+                x.astype(jnp.bfloat16), attn_out.astype(jnp.bfloat16),
+                kctx, vctx, wq, wo, bo, n2s, n2b, n3s, n3b,
+                heads=self.heads, kv_len=context.shape[1],
+                interpret=jax.default_backend() != "tpu")
+            ff = GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")
+            return (x3 + ff(y3)).astype(self.dtype)
+
         x = x + attn_out
 
         # LDM-variant merging (reference make_tome_block wraps attn2 and ff
@@ -650,6 +727,7 @@ class Transformer2D(nn.Module):
     tome: Optional[ToMeConfig] = None
     dtype: Any = jnp.bfloat16
     use_pallas: Optional[bool] = None
+    sublayer_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, context, tome_call=None, attn_inject=None,
@@ -670,6 +748,7 @@ class Transformer2D(nn.Module):
                 dim=self.channels, heads=self.heads, head_dim=self.head_dim,
                 context_dim=self.context_dim, downsample=self.downsample,
                 tome=self.tome, dtype=self.dtype, use_pallas=self.use_pallas,
+                sublayer_mode=self.sublayer_mode,
                 name=f"transformer_blocks_{i}",
             )(h, context, tome_call=tome_call, attn_inject=attn_inject,
               num_lanes=num_lanes)

@@ -118,11 +118,13 @@ class ModelBundle:
     def make_unet(self, tome: Optional[ToMeConfig] = None,
                   use_pallas: Optional[bool] = None,
                   resnet_mode: str = "off",
-                  resnet_quant: bool = False) -> UNet2DConditionModel:
+                  resnet_quant: bool = False,
+                  sublayer_mode: str = "off") -> UNet2DConditionModel:
         return UNet2DConditionModel(config=self.unet_config, tome=tome,
                                     dtype=self.dtype, use_pallas=use_pallas,
                                     resnet_mode=resnet_mode,
-                                    resnet_quant=resnet_quant)
+                                    resnet_quant=resnet_quant,
+                                    sublayer_mode=sublayer_mode)
 
     def make_vae(self) -> AutoencoderKL:
         chans, layers = self.vae_channels

@@ -133,6 +133,9 @@ class UNet2DConditionModel(nn.Module):
     resnet_mode: str = "off"
     # int8 serving active (dispatch-policy input for the fused kernel)
     resnet_quant: bool = False
+    # fused cross-attention sublayer dispatch ("off"/"fused") — config
+    # key generation.sublayer_mode / inversion.sublayer_mode
+    sublayer_mode: str = "off"
 
     def _transformer(self, channels: int, level: int, name: str):
         heads, head_dim = self.config.heads_for(channels)
@@ -143,6 +146,7 @@ class UNet2DConditionModel(nn.Module):
             downsample=2 ** level,
             use_linear_projection=self.config.use_linear_projection,
             tome=self.tome, dtype=self.dtype, use_pallas=self.use_pallas,
+            sublayer_mode=self.sublayer_mode,
             name=name)
 
     @nn.compact

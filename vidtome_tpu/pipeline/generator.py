@@ -301,10 +301,24 @@ class Generator:
             "resnet_mode", config.get("resnet_mode", "off")) or "off")
         self.quant = str(gene.get("quant", config.get("quant", "none"))
                          or "none").lower()
+        # Fused transformer cross-attention sublayer (ops/sublayer.py):
+        # one Pallas call per block for add+LN2+to_q+cross-attn+to_out+
+        # add+LN3.  bf16-only — the int8 policy quantizes the attention
+        # projections, whose bf16 kernels the fused path needs.
+        self.sublayer_mode = str(gene.get(
+            "sublayer_mode", config.get("sublayer_mode", "off")) or "off")
+        if self.sublayer_mode not in ("off", "fused"):
+            raise ValueError(f"sublayer_mode must be off|fused, got "
+                             f"{self.sublayer_mode!r}")
+        if self.sublayer_mode == "fused" and self.quant in ("int8", "w8a8"):
+            raise ValueError(
+                "sublayer_mode: fused requires bf16 attention projections "
+                "(quant: none) — the int8 policy strips their kernels")
         self.unet = bundle.make_unet(
             tome=self.tome, use_pallas=use_pallas,
             resnet_mode=self.resnet_mode,
-            resnet_quant=self.quant in ("int8", "w8a8"))
+            resnet_quant=self.quant in ("int8", "w8a8"),
+            sublayer_mode=self.sublayer_mode)
         self.unet_params = bundle.unet_params
         if self.use_controlnet:
             self.controlnet = bundle.make_controlnet(use_pallas=use_pallas)

@@ -112,9 +112,20 @@ class Inverter:
         # the fused resnet kernel's shape policy depends on it.
         self.quant = str(inv.get("quant", config.get("quant", "none"))
                          or "none").lower()
+        # fused cross-attention sublayer (see Generator / ops/sublayer.py)
+        self.sublayer_mode = str(inv.get(
+            "sublayer_mode", config.get("sublayer_mode", "off")) or "off")
+        if self.sublayer_mode not in ("off", "fused"):
+            raise ValueError(f"sublayer_mode must be off|fused, got "
+                             f"{self.sublayer_mode!r}")
+        if self.sublayer_mode == "fused" and self.quant in ("int8", "w8a8"):
+            raise ValueError(
+                "sublayer_mode: fused requires bf16 attention projections "
+                "(quant: none) — the int8 policy strips their kernels")
         unet = bundle.make_unet(use_pallas=use_pallas,
                                 resnet_mode=self.resnet_mode,
-                                resnet_quant=self.quant in ("int8", "w8a8"))
+                                resnet_quant=self.quant in ("int8", "w8a8"),
+                                sublayer_mode=self.sublayer_mode)
         self._params = {"unet": bundle.unet_params}
         use_controlnet = self.control not in ("none", "pnp")
         if use_controlnet:
