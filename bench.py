@@ -200,6 +200,9 @@ SERVE_PROFILES = {
                       eps_extrapolate=2,
                       local_merge_ratio=0.95, global_merge_ratio=0.9,
                       resnet_mode="fused"),
+    # (an eps-w5 rung was drafted and dropped unmeasured: inv_eps_w4x
+    # already fails at 29.5 dB linear and serve w4 quad at 28.5 — w5 is
+    # >6 dB under the bar by every calibration, not worth a TPU run)
     # chunk-size push on the deep bf16 schedule (round 5): chunk 8/16
     # batches 2-4x the frames per UNet call (fewer dispatches + bank
     # merges, fuller MXU) and local F->1 merging over more frames
