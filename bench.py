@@ -203,6 +203,15 @@ SERVE_PROFILES = {
     # (an eps-w5 rung was drafted and dropped unmeasured: inv_eps_w4x
     # already fails at 29.5 dB linear and serve w4 quad at 28.5 — w5 is
     # >6 dB under the bar by every calibration, not worth a TPU run)
+    # batched-chunk step (round 5): chunks 2..K of every timestep run as
+    # ONE UNet call (batch 56 at 32f/512p instead of 7 sequential batch-8
+    # calls) against the first chunk's bank — the structural lever from
+    # DESIGN §9.4.  Promotion requires gates/serve_maxe3xbB.json >= 35.
+    "maxe3xbB": dict(cache_schedule="full:6,uniform:12",
+                     cfg_schedule="full:6,uniform:6",
+                     eps_schedule="full:6,uniform:3", eps_extrapolate=True,
+                     local_merge_ratio=0.95, global_merge_ratio=0.9,
+                     resnet_mode="fused", chunk_batch=True),
     # chunk-size push on the deep bf16 schedule (round 5): chunk 8/16
     # batches 2-4x the frames per UNet call (fewer dispatches + bank
     # merges, fuller MXU) and local F->1 merging over more frames

@@ -280,6 +280,21 @@ GATES = {
                              "local_merge_ratio": 0.95,
                              "global_merge_ratio": 0.9,
                              "resnet_mode": "fused"}),
+    # batched-chunk step (generation.chunk_batch, round 5): chunks 2..K
+    # of every timestep run as ONE UNet call; every batched chunk
+    # global-merges against the FIRST chunk's bank (star topology)
+    # instead of its predecessor's (chain), and the batched chunks share
+    # one matching draw.  chunk_batch isolates the deviation; the xbB
+    # gate stacks it on the shipped serve schedule.
+    "chunk_batch": ({}, {"chunk_batch": True}),
+    "serve_maxe3xbB": ({}, {"cache_schedule": "full:6,uniform:12",
+                            "cfg_schedule": "full:6,uniform:6",
+                            "eps_schedule": "full:6,uniform:3",
+                            "eps_extrapolate": True,
+                            "local_merge_ratio": 0.95,
+                            "global_merge_ratio": 0.9,
+                            "resnet_mode": "fused",
+                            "chunk_batch": True}),
     # fused cross-attention sublayer (ops/sublayer.py) on the shipped
     # schedule: numerics shift only at fusion rounding points, but the
     # artifact rule is the artifact rule

@@ -178,6 +178,24 @@ class Generator:
                 f"chunk_boundaries must be rotate|ragged, got "
                 f"{self.chunk_boundaries!r}")
         self.ragged = self.chunk_boundaries == "ragged"
+        # Batched-chunk step (serving acceleration, quality-gated like the
+        # caches — DESIGN §9.5): chunks 2..K of every timestep run as ONE
+        # UNet call (batch = lanes * (K-1) * chunk_size) instead of a
+        # sequential lax.scan.  Local merging stays per-chunk for free —
+        # join_frames groups every ``chunk_size`` consecutive batch rows —
+        # and every batched chunk global-merges against the FIRST chunk's
+        # bank (star topology) instead of its predecessor's (the
+        # reference's chain, patch.py:80).  One matching draw is shared
+        # across the batched chunks.  Both deviations are covered by
+        # gates/chunk_batch*.json; exactness when merging is off is
+        # covered by tests/test_chunk_batch.py.
+        self.chunk_batch = bool(gene.get("chunk_batch", False))
+        if self.chunk_batch and self.ragged:
+            raise ValueError(
+                "generation.chunk_batch requires chunk_boundaries: rotate "
+                "— ragged mode routes duplicate scatter slots through the "
+                "waste slot sequentially, which a single batched scatter "
+                "cannot order.")
 
         self.tome = ToMeConfig(
             frames=self.chunk_size,
@@ -450,6 +468,7 @@ class Generator:
         cfg_on = self.cfg_on
         eps_on = self.eps_on
         eps_extrapolate = self.eps_extrapolate
+        chunk_batch = self.chunk_batch
 
         def chunk_eps(bank_mode, params, x_full, eps_buf, fidx, banks,
                       step_i, chunk_pos, context, source_full, depth_full,
@@ -602,19 +621,40 @@ class Generator:
             if n_chunks > 1:
                 rest_mode = "merge" if merge_global else "off"
 
-                def body(carry, inp):
-                    eps, banks, caches = carry
-                    fidx, pos = inp
-                    eps, banks, caches = chunk_eps(
-                        rest_mode, params, x, eps, fidx, banks, step_i, pos,
-                        context, source_full, depth_full, control_full,
+                if chunk_batch:
+                    # ONE UNet call for chunks 2..K: fold the chunks into
+                    # the batch axis (lane-major, chunk-then-frame order so
+                    # join_frames' consecutive-``chunk_size`` grouping
+                    # reproduces per-chunk local merging).  The first
+                    # chunk's bank is tiled per chunk row — every batched
+                    # chunk merges against it (star vs the scan's chain).
+                    banks_rest = None
+                    if banks is not None:
+                        banks_rest = jax.tree.map(
+                            lambda b: jnp.repeat(b, n_chunks - 1, axis=0),
+                            banks)
+                    fidx_rest = fidx_all[1:].reshape(
+                        (n_chunks - 1) * fidx_all.shape[1], 2)
+                    eps, _, caches = chunk_eps(
+                        rest_mode, params, x, eps, fidx_rest, banks_rest,
+                        step_i, jnp.asarray(1, jnp.int32), context,
+                        source_full, depth_full, control_full,
                         guidance_scale, caches, cache_mode, cfg_skip)
-                    return (eps, banks, caches), None
+                else:
+                    def body(carry, inp):
+                        eps, banks, caches = carry
+                        fidx, pos = inp
+                        eps, banks, caches = chunk_eps(
+                            rest_mode, params, x, eps, fidx, banks, step_i,
+                            pos, context, source_full, depth_full,
+                            control_full, guidance_scale, caches,
+                            cache_mode, cfg_skip)
+                        return (eps, banks, caches), None
 
-                (eps, banks, caches), _ = jax.lax.scan(
-                    body, (eps, banks, caches),
-                    (fidx_all[1:],
-                     jnp.arange(1, n_chunks, dtype=jnp.int32)))
+                    (eps, banks, caches), _ = jax.lax.scan(
+                        body, (eps, banks, caches),
+                        (fidx_all[1:],
+                         jnp.arange(1, n_chunks, dtype=jnp.int32)))
 
             if eps_on:
                 # store the guidance-combined eps for eps-skip steps (and
