@@ -47,6 +47,7 @@ def _args(**kw):
     return types.SimpleNamespace(**base)
 
 
+@pytest.mark.slow
 def test_measure_mode_fps_headline_profile(bench, bundle):
     """The default headline serve profile runs through the sidecar at
     tiny shapes (exercises mode_tab/caches/fidx plumbing end to end)."""

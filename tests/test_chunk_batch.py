@@ -86,6 +86,7 @@ def _run_generation(bundle, tmp_path, video_dir, **gene_overrides):
     return out["edit"]
 
 
+@pytest.mark.slow
 def test_no_merge_batched_matches_sequential(bundle, video_dir, tmp_path):
     # merging fully off -> batching is semantics-free; rows of the one
     # batched call are exactly the sequential calls' rows
@@ -97,6 +98,7 @@ def test_no_merge_batched_matches_sequential(bundle, video_dir, tmp_path):
                                seq.astype(np.float32), atol=1.0)
 
 
+@pytest.mark.slow
 def test_merged_batched_runs_and_is_close(bundle, video_dir, tmp_path):
     seq = _run_generation(bundle, tmp_path / "a", video_dir)
     bat = _run_generation(bundle, tmp_path / "b", video_dir,
@@ -109,6 +111,7 @@ def test_merged_batched_runs_and_is_close(bundle, video_dir, tmp_path):
     assert np.sqrt((diff ** 2).mean()) < 80.0
 
 
+@pytest.mark.slow
 def test_batched_is_deterministic(bundle, video_dir, tmp_path):
     a = _run_generation(bundle, tmp_path / "a", video_dir, chunk_batch=True)
     b = _run_generation(bundle, tmp_path / "b", video_dir, chunk_batch=True)

@@ -42,6 +42,7 @@ class TestUNetSplit:
         t = jnp.asarray(3)
         return unet, {"params": bundle.unet_params}, x, t, ctx
 
+    @pytest.mark.slow
     def test_shallow_matches_full_same_timestep(self, bundle):
         unet, params, x, t, ctx = self._unet_and_inputs(bundle)
         eps_full, deep = unet.apply(params, x, t, ctx, cache_mode="full")
@@ -130,12 +131,14 @@ def _run_generation(bundle, tmp_path, video_dir, **gene_overrides):
 
 
 class TestGeneratorCacheInterval:
+    @pytest.mark.slow
     def test_interval1_matches_off(self, bundle, video_dir, tmp_path):
         frames_off = _run_generation(bundle, tmp_path / "a", video_dir)
         frames_i1 = _run_generation(bundle, tmp_path / "b", video_dir,
                                     cache_interval=1)
         np.testing.assert_array_equal(frames_off, frames_i1)
 
+    @pytest.mark.slow
     def test_interval2_runs_and_is_close(self, bundle, video_dir, tmp_path):
         frames_off = _run_generation(bundle, tmp_path / "a", video_dir)
         frames_i2 = _run_generation(bundle, tmp_path / "b", video_dir,
@@ -167,6 +170,7 @@ class TestInversionCache:
         assert files
         return np.load(files[-1])
 
+    @pytest.mark.slow
     def test_interval1_matches_off(self, bundle, video_dir, tmp_path):
         a = self._invert(bundle, tmp_path / "a", video_dir)
         b = self._invert(bundle, tmp_path / "b", video_dir,
@@ -228,6 +232,7 @@ class TestRefreshMask:
 
 
 class TestCacheSchedule:
+    @pytest.mark.slow
     def test_schedule_all_full_matches_off(self, bundle, video_dir,
                                            tmp_path):
         frames_off = _run_generation(bundle, tmp_path / "a", video_dir)
@@ -242,6 +247,7 @@ class TestCacheSchedule:
 
 
 class TestCFGCache:
+    @pytest.mark.slow
     def test_cfg_interval1_matches_off(self, bundle, video_dir, tmp_path):
         frames_off = _run_generation(bundle, tmp_path / "a", video_dir)
         frames_i1 = _run_generation(bundle, tmp_path / "b", video_dir,

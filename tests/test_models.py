@@ -77,6 +77,7 @@ class TestUNet:
         np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_p),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_share_match_runs_and_is_exact_for_identical_frames(self, tiny_unet):
         """share_match reuses one matching per level; with identical frames
         at ratio 1.0 both modes are exact, so outputs must agree."""
@@ -99,6 +100,7 @@ class TestUNet:
                                    np.asarray(outs[False]),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_share_match_with_global_bank(self, tiny_unet):
         _, params = tiny_unet
         tome = ToMeConfig(frames=4, local_merge_ratio=0.9, merge_global=True,
@@ -118,6 +120,7 @@ class TestUNet:
         assert np.isfinite(np.asarray(out1)).all()
         assert np.isfinite(np.asarray(out2)).all()
 
+    @pytest.mark.slow
     def test_global_bank_lifecycle(self, tiny_unet):
         _, params = tiny_unet
         tome = ToMeConfig(frames=2, local_merge_ratio=0.9, merge_global=True)
@@ -140,6 +143,7 @@ class TestUNet:
         assert any(np.abs(np.asarray(a - b)).max() > 1e-6
                    for a, b in zip(leaves1, leaves2))
 
+    @pytest.mark.slow
     def test_pnp_injection_flags(self, tiny_unet):
         model, params = tiny_unet
         x = jax.random.normal(jax.random.key(13), (6, 16, 16, 4))
@@ -393,6 +397,7 @@ class TestLDMVariantMerging:
             tome_call=ToMeCall(key=jax.random.key(5), bank_mode="off"),
             num_lanes=2)
 
+    @pytest.mark.slow
     def test_identical_frames_match_baseline_exactly(self):
         """With all frames identical, every merged-away token's dst holds
         its own value, so running attn2/ff on the merged sequence must give

@@ -186,6 +186,7 @@ class TestPosePostprocess:
         assert canvas.sum() == 0
 
 
+@pytest.mark.slow
 class TestPoseEndToEnd:
     def test_pose_images_runs_with_random_weights(self, tmp_path):
         """Full detector path (env hook -> convert -> jit forward ->

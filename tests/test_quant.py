@@ -188,6 +188,7 @@ def test_static_act_scale_quality():
     assert _rel_rmse(got.reshape(-1, 32), ref) < 0.05
 
 
+@pytest.mark.slow
 def test_pipeline_int8_generation(tmp_path):
     """Full invert -> int8 generate on the tiny bundle: the quantized
     serving path must run end-to-end and stay close to the fp32 pipeline
