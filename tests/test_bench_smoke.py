@@ -91,6 +91,7 @@ def test_measure_mode_fps_headline_profile(bench, bundle):
     assert fps8 > 0
 
 
+@pytest.mark.slow
 def test_measure_pnp_fps(bench, bundle):
     """The PnP sidecar (3 lanes, injection flags, production fidx table
     layout) runs at tiny shapes."""
@@ -107,7 +108,7 @@ def test_serve_profiles_schema(bench):
                "eps_interval", "cache_interval", "cfg_interval",
                "eps_extrapolate", "local_merge_ratio",
                "global_merge_ratio", "resnet_mode", "sublayer_mode",
-               "chunk_boundaries",
+               "chunk_boundaries", "chunk_batch",
                "len_quantum", "steps_per_block", "chunk_size"}
     for name, prof in bench.SERVE_PROFILES.items():
         unknown = set(prof) - allowed

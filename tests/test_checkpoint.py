@@ -1,11 +1,13 @@
 """Native bundle checkpoint save/restore round trip."""
 
 import jax
+import pytest
 import numpy as np
 
 from tests.helpers import make_tiny_bundle
 
 
+@pytest.mark.slow
 def test_bundle_roundtrip(tmp_path):
     from vidtome_tpu.models.checkpoint import load_bundle, save_bundle
 

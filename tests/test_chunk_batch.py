@@ -118,6 +118,7 @@ def test_batched_is_deterministic(bundle, video_dir, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_chunk_batch_with_serving_caches_runs(bundle, video_dir, tmp_path):
     # the serve-profile combination: deep + cfg + eps caches on top of the
     # batched step (4 steps -> full:1,uniform:2 exercises every lane)

@@ -239,6 +239,7 @@ def torch_tiny_unet(s: State, x, t, ctx):
 
 
 class TestUNetGolden:
+    @pytest.mark.slow
     def test_full_forward_parity(self):
         from vidtome_tpu.models.unet import TINY_UNET, UNet2DConditionModel
 
@@ -473,6 +474,7 @@ class TestTextGolden:
 
 
 class TestSafetensorsRoundTrip:
+    @pytest.mark.slow
     def test_unet_through_file(self, tmp_path):
         from safetensors.numpy import save_file
 

@@ -54,6 +54,7 @@ class TestUNetSplit:
         np.testing.assert_allclose(np.asarray(eps_shallow),
                                    np.asarray(eps_full), atol=1e-6)
 
+    @pytest.mark.slow
     def test_shallow_matches_full_with_merging(self, bundle):
         tome = ToMeConfig(frames=4, local_merge_ratio=0.9, max_downsample=2,
                           len_quantum=None)
@@ -177,6 +178,7 @@ class TestInversionCache:
                          cache_interval=1)
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.slow
     def test_schedule_runs(self, bundle, video_dir, tmp_path):
         a = self._invert(bundle, tmp_path / "a", video_dir)
         b = self._invert(bundle, tmp_path / "b", video_dir,
@@ -240,6 +242,7 @@ class TestCacheSchedule:
                                    cache_schedule="uniform:1")
         np.testing.assert_array_equal(frames_off, frames_s)
 
+    @pytest.mark.slow
     def test_warmup_schedule_runs(self, bundle, video_dir, tmp_path):
         frames = _run_generation(bundle, tmp_path / "a", video_dir,
                                  cache_schedule="full:2,uniform:2")
@@ -254,6 +257,7 @@ class TestCFGCache:
                                     cfg_interval=1)
         np.testing.assert_array_equal(frames_off, frames_i1)
 
+    @pytest.mark.slow
     def test_cfg_interval2_runs(self, bundle, video_dir, tmp_path):
         frames_off = _run_generation(bundle, tmp_path / "a", video_dir)
         frames_i2 = _run_generation(bundle, tmp_path / "b", video_dir,
@@ -263,6 +267,7 @@ class TestCFGCache:
         diff = frames_off.astype(np.float32) - frames_i2.astype(np.float32)
         assert np.sqrt((diff ** 2).mean()) < 80.0
 
+    @pytest.mark.slow
     def test_combined_serve_profile_runs(self, bundle, video_dir, tmp_path):
         frames = _run_generation(bundle, tmp_path / "a", video_dir,
                                  cache_interval=2, cfg_interval=2)

@@ -109,6 +109,7 @@ class TestSafeStep:
 
 
 class TestOpenposeEarlyValidation:
+    @pytest.mark.slow
     def test_openpose_fails_at_pipeline_construction(self, tmp_path):
         from tests.helpers import make_tiny_bundle
         from tests.test_pipeline_e2e import _base_config

@@ -93,6 +93,7 @@ class TestGeneratorEpsCache:
                                     eps_interval=1)
         np.testing.assert_array_equal(frames_off, frames_e1)
 
+    @pytest.mark.slow
     def test_skip_runs_and_is_close(self, bundle, video_dir, tmp_path):
         frames_off = _run_generation(bundle, tmp_path / "a", video_dir)
         frames_skip = _run_generation(bundle, tmp_path / "b", video_dir,
@@ -102,6 +103,7 @@ class TestGeneratorEpsCache:
         diff = frames_off.astype(np.float32) - frames_skip.astype(np.float32)
         assert np.sqrt((diff ** 2).mean()) < 80.0
 
+    @pytest.mark.slow
     def test_skip_step_reuses_cached_eps(self, bundle, video_dir, tmp_path):
         """Step 1 is skipped: its update must be exactly
         ddim_step(x1, eps0) where eps0 is the eps step 0 computed."""
@@ -114,6 +116,7 @@ class TestGeneratorEpsCache:
             jnp.asarray(xs[1]), jnp.asarray(eps0), a1[0], a1[1]))
         np.testing.assert_allclose(xs[2], pred, rtol=5e-3, atol=5e-3)
 
+    @pytest.mark.slow
     def test_skip_step_extrapolates(self, bundle, video_dir, tmp_path):
         """Refreshes at steps 0,1 then a skip at step 2 with
         eps_extrapolate: eps_hat = 2*eps1 - eps0 (factor = 1)."""
@@ -130,6 +133,7 @@ class TestGeneratorEpsCache:
             a2[0], a2[1]))
         np.testing.assert_allclose(xs[3], pred, rtol=5e-3, atol=5e-3)
 
+    @pytest.mark.slow
     def test_extrapolate_pipeline_runs(self, bundle, video_dir, tmp_path):
         frames = _run_generation(bundle, tmp_path / "a", video_dir,
                                  eps_schedule="full:2,uniform:2",
@@ -170,6 +174,7 @@ class TestGeneratorEpsCache:
             a[2][0], a[2][1]))
         np.testing.assert_allclose(xs[3], pred, rtol=5e-3, atol=5e-3)
 
+    @pytest.mark.slow
     def test_composes_with_deep_and_cfg_caches(self, bundle, video_dir,
                                                tmp_path):
         frames = _run_generation(bundle, tmp_path / "a", video_dir,

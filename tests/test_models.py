@@ -31,6 +31,7 @@ class TestUNet:
         assert out.shape == (2, 16, 16, 4)
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.slow
     def test_timestep_changes_output(self, tiny_unet):
         model, params = tiny_unet
         x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
@@ -176,6 +177,7 @@ class TestUNet:
 
 
 class TestSDXLUNet:
+    @pytest.mark.slow
     def test_forward_with_addition_embeds_and_merging(self):
         from vidtome_tpu.models.unet import TINY_SDXL_UNET
 

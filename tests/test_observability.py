@@ -1,6 +1,7 @@
 """Merge-stats collection + logging utilities."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from vidtome_tpu.logging_utils import collect_tome_stats, get_logger, timed
@@ -8,6 +9,7 @@ from vidtome_tpu.models.tome import ToMeCall, ToMeConfig
 from vidtome_tpu.models.unet import TINY_UNET, UNet2DConditionModel
 
 
+@pytest.mark.slow
 def test_tome_stats_collection():
     tome = ToMeConfig(frames=4, local_merge_ratio=0.9, collect_stats=True)
     model = UNet2DConditionModel(config=TINY_UNET, tome=tome,

@@ -62,6 +62,7 @@ def test_dp_tp_forward_matches_unsharded(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_merged_forward(setup):
     """Token merging (cross-frame gathers) under dp+tp sharding: the joined
     frame axis spans data-parallel shards, so XLA must insert collectives —

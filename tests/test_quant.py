@@ -226,6 +226,7 @@ def test_pipeline_int8_generation(tmp_path):
     assert _rel_rmse(outs["int8"], outs["none"]) < 0.25
 
 
+@pytest.mark.slow
 def test_inverter_int8_runs():
     from tests.helpers import make_tiny_bundle
     from tests.test_pipeline_e2e import _base_config
@@ -243,6 +244,7 @@ def test_inverter_int8_runs():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_quantized_unet_close_to_fp32():
     unet, params, x, ctx = _tiny_unet()
     x = jax.random.normal(jax.random.key(12), x.shape, x.dtype)

@@ -121,6 +121,7 @@ def test_block_fused_matches_standard():
                                rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
 def test_block_fused_with_merging_matches_standard():
     """Fused sublayer under active ToMe merging (merging wraps only
     attn1; the fused chain sits after the unmerge)."""
